@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (throughput_docs_per_sec) are informational.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from nous_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, app_name="nous_bench")
+
+    queries = entrymod.queries()
+    headline = [
+        "kg_extract_triples",
+        "a1_mis_support",
+        "a10_degree",
+        "j1_agg_join",
+        "j7_semi_join",
+        "n6_purge_longest",
+        "w2_topk_per_group",
+        "str_windowed_agg",
+        "txt_quality_score",
+        "dd_exact_dedup",
+    ]
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # warm the JVM/Arrow paths once so timings measure the engine, not init
+    queries["s7_lang_histogram"](spark, SF_DIR).collect()
+
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    extract_tput = round(n_docs / max(timings["kg_extract_triples"], 1e-9), 1)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "extract_docs_per_sec": extract_tput,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

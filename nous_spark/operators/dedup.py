@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Everything shuffles on compact hash keys, never
+on document text; candidate generation is always blocked (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit mix constants for the minhash permutation family
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via md5 groupBy: (text_hash, keeper_id, n_dups).
+    Keeper = min id. One shuffle on the 128-bit hash, never on text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per doc → (id, shingle_hash ARRAY<BIGINT>)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(grams).alias("shingle_hashes"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: for k seeded mixes of the shingle hashes,
+    take the min — all inside one JVM-side transform, no UDF."""
+    sigs = F.array(*[
+        F.array_min(
+            F.transform(
+                F.col("shingle_hashes"),
+                lambda h, i=i: F.pmod(
+                    h * F.lit((2 * i + 1) * 0x9E3779B1 + seed) + F.lit(i * 0x85EBCA77),
+                    F.lit(_MERSENNE),
+                ),
+            )
+        )
+        for i in range(num_hashes)
+    ])
+    return shingled.select("id", sigs.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures, bucket-join within bands → candidate pairs.
+    The join key is (band, band_hash) — skew-safe because identical
+    signatures collapse; output deduplicated (a, b) with a < b."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → signature → banded bucket
+    join → exact Jaccard verification on candidates only. Returns
+    (a, b, jaccard) pairs above threshold."""
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    sh_a = sh.select(F.col("id").alias("a"), F.col("shingle_hashes").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("shingle_hashes").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5, block_grams: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup with shingle-prefix blocking: docs
+    sharing any of their ``block_grams`` smallest shingle hashes become
+    candidates (prefix filtering), then exact Jaccard on survivors."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    blocked = sh.select(
+        "id",
+        F.explode(F.slice(F.array_sort("shingle_hashes"), 1, block_grams)).alias("blk"),
+    )
+    l = blocked.alias("l")
+    r = blocked.alias("r")
+    cand = (
+        l.join(r, "blk")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sh_a = sh.select(F.col("id").alias("a"), F.col("shingle_hashes").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("shingle_hashes").alias("sh_b"))
+    return (
+        cand.join(sh_a, "a").join(sh_b, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """SimHash per doc: sign-sum of per-token hash bits, JVM-side.
+    Emits (id, simhash BIGINT). Near-dups = small hamming distance —
+    use ``simhash_near_duplicates`` for banded matching."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit: sum(+1/-1) over tokens, take sign
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                tok_hashes,
+                F.lit(0),
+                lambda acc, h, b=b: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias(f"bit_{b}")
+        for b in range(bits)
+    ]
+    packed = None
+    for b in range(bits):
+        term = F.shiftleft(bit_cols[b], b)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Banded SimHash matching: split the 64-bit hash into ``bands`` chunks;
+    pairs agreeing on any chunk are candidates (pigeonhole guarantees recall
+    for hamming ≤ bands-1), verified by exact popcount."""
+    sh = simhash(df, text_col, id_col).persist()
+    width = 64 // bands
+    banded = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            )
+            for b in range(bands)
+        ])).alias("bc"),
+    ).select("id", "simhash", "bc.band", "bc.chunk")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(r, ["band", "chunk"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs
