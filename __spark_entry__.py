@@ -213,6 +213,98 @@ def _q_type_cooccurrence(spark, sf):  # A13 pairs sharing a data node
     )
 
 
+def _q_ann_cosine_topk(spark, sf):  # similarity search: exact top-k
+    from nous_spark.operators.ann import brute_force_topk
+
+    emb = _read(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=10).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+def _q_language_id(spark, sf):  # text analysis: n-gram/stopword lang ID
+    from nous_spark.operators.textstats import language_id
+
+    return language_id(_read(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint_stats(spark, sf):  # document fingerprinting
+    from nous_spark.operators.textstats import fingerprint
+
+    fp = fingerprint(_read(spark, sf, "documents"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    )
+
+
+def _q_token_jaccard(spark, sf):  # F10 jaccard over token sets
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.size(F.array_union("a.toks", "b.toks")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_minhash_pairs(spark, sf):  # dedup: MinHash+LSH (rows-only)
+    from nous_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _read(spark, sf, "documents"), threshold=0.8
+    )
+
+
+def _q_simhash_pairs(spark, sf):  # dedup: SimHash (rows-only)
+    from nous_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _read(spark, sf, "documents"), max_hamming=3
+    )
+
+
+def _q_connected_components(spark, sf):  # G8 (rows-only: iterative fixpoint)
+    from nous_spark.operators.graph import connected_components
+
+    e = _read(spark, sf, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+    )
+    return connected_components(e)
+
+
+def _q_path_search(spark, sf):  # G3/G5 (rows-only: iterative frontier)
+    from nous_spark.operators.pathsearch import find_paths
+
+    n = _read(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        F.lit("in_region").alias("pred"),
+    )
+    pairs = spark.createDataFrame(
+        [(1, 0, 1), (2, 2, 3)], ["pair_id", "src_id", "dst_id"]
+    )
+    res = find_paths(n, pairs, max_hops=3, bidirectional=True)
+    return res.select(
+        "pair_id", F.col("hops"), F.concat_ws("->", "preds").alias("pred_chain")
+    )
+
+
 def _q_extract_triples(spark, sf):  # flagship, rows-only check
     from nous_spark.operators.extraction import extract_triples
 
@@ -247,6 +339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dedup": _q_dedup_exact,
         "a6_edge_signatures": _q_edge_signatures,
         "a13_type_cooccurrence": _q_type_cooccurrence,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "txt_language_id": _q_language_id,
+        "txt_fingerprint_stats": _q_fingerprint_stats,
+        "f10_token_jaccard": _q_token_jaccard,
+        "dd_minhash_pairs": _q_minhash_pairs,
+        "dd_simhash_pairs": _q_simhash_pairs,
+        "g8_connected_components": _q_connected_components,
+        "g3_path_search": _q_path_search,
         "kg_extract_triples": _q_extract_triples,
     }
 
@@ -354,5 +454,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.l_returnflag < b.l_returnflag
             GROUP BY 1, 2
         """,
-        # kg_extract_triples: non-SQL-expressible (NLP pipeline) → rows-only
+        "ann_cosine_topk": """
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                round(list_dot_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                  / greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+                           1e-12), 6) AS cosine,
+                row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY round(list_dot_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                      / greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+                               1e-12), 6) DESC, b.vec_id) AS rank
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 3)
+            WHERE rank <= 10
+        """,
+        "txt_language_id": """
+            WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+            s AS (SELECT doc_id,
+              len(list_filter(toks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(toks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(toks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(toks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "txt_fingerprint_stats": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   count(DISTINCT array_to_string(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))::BIGINT
+                   AS n_unique
+            FROM documents
+        """,
+        "f10_token_jaccard": """
+            WITH t AS (SELECT doc_id,
+                list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / (len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+        """,
+        # rows-only (non-SQL-expressible): kg_extract_triples (NLP pipeline),
+        # dd_minhash_pairs / dd_simhash_pairs (hash-family specific),
+        # g8_connected_components / g3_path_search (iterative fixpoints)
     }

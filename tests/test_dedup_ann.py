@@ -1,0 +1,98 @@
+"""Dedup + similarity-search operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk
+from nous_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),                                      # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),            # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles here"),
+        (5, "another unrelated document discussing query optimizers and joins"),
+        (6, base + " extra trailing words appended"),   # near dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r.keeper_id: r.n_dups for r in exact_duplicates(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {(r.a, r.b): r.jaccard
+             for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (1, 6) in pairs
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    # short docs flip more bits per edit → 8 bands (8-bit chunks) guarantee
+    # recall for hamming ≤ 7 and catch these hamming-8 pairs empirically
+    pairs = {(r.a, r.b): r.hamming
+             for r in simhash_near_duplicates(docs, max_hamming=10,
+                                              bands=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_brute_force_topk_self(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, q, k=5).orderBy("rank").collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert len(top) == 5
+    cos = [r.cosine for r in top]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # testdata embeddings are near-random (top-10 cosine reaches ~0.25 —
+    # the hardest case for SRP-LSH); short codes + many tables keep recall
+    exact = brute_force_topk(emb, q, k=10)
+    approx = lsh_topk(emb, q, dim=64, k=10, n_bits=4, n_tables=16)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+    # self-match always found (same bucket trivially)
+    assert all((i, i) in ap for i in range(3))
+
+
+def test_ivf_topk_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, dim=64, k=5, n_cells=8, n_probe=4).collect()
+    assert len(out) == 5
+    assert out[0].vec_id == 7 or any(r.vec_id == 7 for r in out)

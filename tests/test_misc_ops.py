@@ -1,0 +1,167 @@
+"""Tests: multimodal plumbing, sources, streaming miner, mining aggs,
+textstats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.mining import (
+    mark_redundant,
+    min_image_support,
+    min_image_support_arr,
+)
+from nous_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from nous_spark.operators.textstats import fingerprint, language_id
+from nous_spark.sources.readers import read_lg_graph, read_temporal_quads, read_triples_tsv
+from nous_spark.sources.sinks import write_triples
+from nous_spark.streaming.batch_driver import StreamingPatternMiner, one_edge_instances
+
+
+def test_min_image_support_semantics(spark):
+    # pattern p1: positions (a,b); a-bindings {1,2}, b-bindings {5} → support 1
+    inst = spark.createDataFrame(
+        [("p1", 1, 5), ("p1", 2, 5), ("p2", 1, 2), ("p2", 3, 4)],
+        ["pattern_key", "b0", "b1"],
+    )
+    sup = {r.pattern_key: r.support
+           for r in min_image_support(inst, ["b0", "b1"]).collect()}
+    assert sup == {"p1": 1, "p2": 2}
+    arr = spark.createDataFrame(
+        [("p1", [1, 5]), ("p1", [2, 5])], ["pattern_key", "binding"]
+    )
+    sup2 = {r.pattern_key: r.support for r in min_image_support_arr(arr).collect()}
+    assert sup2 == {"p1": 1}
+
+
+def test_mark_redundant(spark):
+    deps = spark.createDataFrame(
+        [("p", "pc1"), ("p", "pc2"), ("q", "qc1")],
+        ["parent_pattern_key", "child_pattern_key"],
+    )
+    sups = spark.createDataFrame(
+        [("p", 5), ("pc1", 5), ("pc2", 3), ("q", 4), ("qc1", 2)],
+        ["pattern_key", "support"],
+    )
+    out = {r.pattern_key: (r.is_redundant, r.is_closed)
+           for r in mark_redundant(deps, sups).collect()}
+    assert out["p"] == (True, False)   # child pc1 equals parent support
+    assert out["q"] == (False, True)   # all children strictly lower
+
+
+def test_streaming_miner_window(spark, tmp_path):
+    def quads(b):
+        # a frequent A->B motif in every batch + a single-binding noise edge
+        # (same binding every batch → window MIS support stays 1)
+        rows = [(i, 1, 100 + i, b) for i in range(4)] + [(50, 9, 60, b)]
+        return spark.createDataFrame(rows, ["src", "pred", "dst", "batch_id"])
+
+    miner = StreamingPatternMiner(spark, str(tmp_path / "mine"),
+                                  mis_support=2, window_batches=2,
+                                  max_pattern_edges=2)
+    for b in range(3):
+        freq = miner.process_batch(quads(b), b)
+        rows = {r.pattern_key: r.support for r in freq.collect()}
+        assert "any,1,any" in rows and rows["any,1,any"] >= 4
+        assert "any,9,any" not in rows  # support 1 per batch < misSupport
+    # resume: re-processing a done batch reads state, returns same result
+    again = miner.process_batch(quads(1), 1)
+    assert {r.pattern_key for r in again.collect()} >= {"any,1,any"}
+
+
+def test_one_edge_instances_typed(spark):
+    quads = spark.createDataFrame([(1, 7, 2, 0)], ["src", "pred", "dst", "batch_id"])
+    types = spark.createDataFrame([(1, "person"), (2, "city")], ["id", "vtype"])
+    row = one_edge_instances(quads, types).collect()[0]
+    assert row.pattern_key == "person,7,city"
+    assert row.binding == [1, 2]
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(synthetic_media(spark, n=12), dim=16).collect()
+    assert {r.media_id: list(r.feature) for r in feats} == \
+        {r.media_id: list(r.feature) for r in feats2}
+
+
+def test_multimodal_stub_raises(spark):
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_features(media, deterministic_fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.collect()
+    assert all(r.frame_ts_ms % 500 == 0 for r in rows)
+    assert len(rows) > 0
+
+
+def test_read_triples_tsv(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("<A>\t<knows>\t<B> .\n# comment\n@prefix x\nC\tlikes\tD\n")
+    out = read_triples_tsv(spark, str(p)).collect()
+    got = {(r.subj, r.pred, r.obj) for r in out}
+    assert got == {("a", "knows", "b"), ("c", "likes", "d")}
+
+
+def test_read_temporal_quads(spark, tmp_path):
+    p = tmp_path / "q.txt"
+    p.write_text("1\t2\t3\t2010-01-01 05:01:00\nbad\trow\n4\t5\t6\t2011-06-01 00:00:00\n")
+    out = read_temporal_quads(spark, str(p), batch_ms=365 * 24 * 3600 * 1000)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0].batch_id != rows[1].batch_id
+
+
+def test_read_lg_graph(spark, tmp_path):
+    p = tmp_path / "g.lg"
+    p.write_text("v 1 foo\nv 2 bar\ne 1 2 rel\n")
+    v, e = read_lg_graph(spark, str(p))
+    assert v.count() == 2 and e.collect()[0].pred == "rel"
+
+
+def test_write_triples_salted(spark, tmp_path):
+    t = spark.createDataFrame(
+        [(f"s{i}", "p" if i % 2 else "q", f"o{i}") for i in range(100)],
+        ["subj", "pred", "obj"],
+    )
+    write_triples(t, str(tmp_path / "out"), salt_buckets=8)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 100
+    assert "salt" in back.columns
+    import os
+    assert sorted(d for d in os.listdir(tmp_path / "out") if d.startswith("pred=")) \
+        == ["pred=p", "pred=q"]
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog went to the market"),
+         (2, "der Hund und die Katze ist mit von"),
+         (3, "le chat et les chiens est avec"),
+         (4, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "unknown"
+
+
+def test_fingerprint_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert out[1] == out[2] != out[3]
