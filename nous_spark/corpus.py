@@ -56,48 +56,78 @@ def _sentence(rng: random.Random) -> str:
 
 
 def _python_file(rng: random.Random) -> str:
-    mods = rng.sample(_MODULES, rng.randint(1, 4))
-    funcs = rng.sample(_FUNCS, rng.randint(1, 3))
-    cls = rng.choice(_CLASSES)
-    lines = [f'"""{_sentence(rng)}"""', ""]
+    """~2-6 KB file: realistic size for source corpora (imports, multiple
+    defs with bodies, classes, docstring + comment prose)."""
+    mods = rng.sample(_MODULES, rng.randint(2, 6))
+    funcs = rng.sample(_FUNCS, rng.randint(3, 8))
+    classes = rng.sample(_CLASSES, rng.randint(1, 3))
+    lines = [f'"""{_sentence(rng)} {_sentence(rng)}"""', ""]
     lines += [f"import {m}" for m in mods]
     lines.append("")
     for fn in funcs:
-        lines.append(f"def {fn}(x):")
+        lines.append(f"def {fn}(x, limit={rng.randint(1, 99)}):")
         lines.append(f"    # {_sentence(rng)}")
-        lines.append(f"    return {rng.choice(_CALLEES)}(x)")
+        lines.append(f"    acc = []")
+        for _ in range(rng.randint(2, 6)):
+            lines.append(f"    acc.append({rng.choice(_CALLEES)}(x, limit))")
+        lines.append(f"    total = sum(len(str(a)) for a in acc)")
+        lines.append(f"    if total > limit:")
+        lines.append(f"        return {rng.choice(_CALLEES)}(acc)")
+        lines.append(f"    return acc")
         lines.append("")
-    lines.append(f"class {cls}:")
-    lines.append(f"    def run(self):")
-    lines.append(f"        return {funcs[0]}(None)")
+    for cls in classes:
+        lines.append(f"class {cls}:")
+        lines.append(f'    """{_sentence(rng)}"""')
+        lines.append(f"    def run(self, n={rng.randint(1, 9)}):")
+        lines.append(f"        return {funcs[0]}(n)")
+        lines.append(f"    def close(self):")
+        lines.append(f"        # {_sentence(rng)}")
+        lines.append(f"        return {rng.choice(_CALLEES)}(self)")
+        lines.append("")
     return "\n".join(lines)
 
 
 def _scala_file(rng: random.Random) -> str:
-    pkgs = rng.sample(_JVM_PKGS, rng.randint(1, 3))
-    cls = rng.choice(_CLASSES)
-    fn = rng.choice(_FUNCS)
-    return "\n".join(
-        [f"// {_sentence(rng)}"]
-        + [f"import {p}" for p in pkgs]
-        + [f"object {cls} {{",
-           f"  def {fn}(n: Int): Int = {rng.choice(_CALLEES)}(n)",
-           "}"]
-    )
+    pkgs = rng.sample(_JVM_PKGS, rng.randint(2, 4))
+    classes = rng.sample(_CLASSES, rng.randint(1, 3))
+    funcs = rng.sample(_FUNCS, rng.randint(3, 7))
+    lines = [f"// {_sentence(rng)}"] + [f"import {p}" for p in pkgs] + [""]
+    for cls in classes:
+        lines.append(f"object {cls} {{")
+        for fn in funcs:
+            lines.append(f"  // {_sentence(rng)}")
+            lines.append(f"  def {fn}(n: Int): Int = {{")
+            lines.append(f"    val parts = (0 until n).map(i => {rng.choice(_CALLEES)}(i))")
+            lines.append(f"    parts.foldLeft({rng.randint(0, 9)})(_ + _)")
+            lines.append("  }")
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines)
 
 
 def _go_file(rng: random.Random) -> str:
-    fn = rng.choice(_FUNCS).title().replace("_", "")
-    return "\n".join(
-        ["package main", ""]
-        + [f'import "{p}"' for p in rng.sample(_GO_PKGS, rng.randint(1, 3))]
-        + ["", f"// {_sentence(rng)}",
-           f"func {fn}(n int) int {{", f"\treturn {rng.choice(_CALLEES)}(n)", "}"]
-    )
+    funcs = [f.title().replace("_", "") for f in rng.sample(_FUNCS, rng.randint(3, 7))]
+    lines = ["package main", ""]
+    lines += [f'import "{p}"' for p in rng.sample(_GO_PKGS, rng.randint(2, 4))]
+    lines.append("")
+    for fn in funcs:
+        lines.append(f"// {_sentence(rng)}")
+        lines.append(f"func {fn}(n int) int {{")
+        lines.append(f"\tacc := {rng.randint(0, 9)}")
+        lines.append(f"\tfor i := 0; i < n; i++ {{")
+        lines.append(f"\t\tacc += {rng.choice(_CALLEES)}(i)")
+        lines.append("\t}")
+        lines.append("\treturn acc")
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines)
 
 
 def _markdown_file(rng: random.Random) -> str:
-    return "\n\n".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
+    paras = []
+    for _ in range(rng.randint(4, 10)):
+        paras.append(" ".join(_sentence(rng) for _ in range(rng.randint(1, 3))))
+    return "\n\n".join(paras)
 
 
 def generate_corpus(n_files: int = 500, seed: int = 42) -> pd.DataFrame:

@@ -41,11 +41,22 @@ def alias_edges_from_links(links: DataFrame, min_score: float = 0.0) -> DataFram
     )
 
 
-def alias_edges_from_code(triples: DataFrame) -> DataFrame:
+def alias_edges_from_code(triples: DataFrame, docs: DataFrame | None = None) -> DataFrame:
     """callee short name → fully-qualified def it resolves to, when the
     resolution is unambiguous within a repo (same-repo def with matching
     trailing ::name). Ambiguous names stay unlinked — canonicalization must
-    not merge distinct functions that merely share a name."""
+    not merge distinct functions that merely share a name.
+
+    Normalized-provenance triples don't carry ``repo``; pass ``docs`` to
+    attach it via doc_id (broadcast — docs ≪ triples)."""
+    if "repo" not in triples.columns:
+        if docs is None:
+            return triples.limit(0).select(
+                F.col("subj").alias("a"), F.col("obj").alias("b")
+            )
+        triples = triples.join(
+            F.broadcast(docs.select("doc_id", "repo")), "doc_id", "left"
+        )
     defs = (
         triples.filter(F.col("pred").isin("defines_function", "defines_class"))
         .select(
@@ -123,10 +134,14 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     return out.select(triples.columns)
 
 
-def canonicalize(triples: DataFrame, links: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+def canonicalize(
+    triples: DataFrame,
+    links: DataFrame | None = None,
+    docs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Full G8 stage: returns (canonical_triples, mapping)."""
     edges = alias_edges_from_triples(triples).unionByName(
-        alias_edges_from_code(triples)
+        alias_edges_from_code(triples, docs)
     )
     if links is not None:
         edges = edges.unionByName(alias_edges_from_links(links))

@@ -51,6 +51,118 @@ def subgraph_by_vertices(
     return out.join(kv, out.dst == F.col("__kv"), "left_semi")
 
 
+def pagerank(
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    tol: float | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G6 (PathFeatureGenerator.savePageRank, PathFeatureGenerator.scala:98-121):
+    PageRank as a bounded driver loop of join+agg rounds (GraphX semantics:
+    rank = resetProb + (1-resetProb) · Σ in-rank/out-degree; dangling mass
+    is not redistributed, matching GraphX's pageRank).
+
+    Each round: one join (ranks ⋈ out-edges) + one aggregation; lineage is
+    truncated per round. Returns (id, rank)."""
+    e = edges.select(F.col(src).alias("from"), F.col(dst).alias("to"))
+    out_deg = e.groupBy("from").agg(F.count("*").alias("out_deg"))
+    vertices = (
+        e.select(F.col("from").alias("id"))
+        .unionAll(e.select(F.col("to").alias("id")))
+        .distinct()
+        .persist()
+    )
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "from"), "from")
+            .join(out_deg, "from")
+            .select(
+                F.col("to").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        new_ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(reset_prob)
+                 + F.lit(1 - reset_prob) * F.coalesce("in_sum", F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n").join(ranks.alias("o"), "id")
+                .select(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .collect()[0].d
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    vertices.unpersist()
+    return ranks
+
+
+def dictionary_encode(
+    df: DataFrame, cols: list[str], start_id: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """J10 (Mining/scripts/getIntGraph.py:22-55 — offline in the reference):
+    label → dense int id. Returns (encoded_df, dictionary(label, id)).
+    Dense ids come from row_number over sorted distinct labels —
+    deterministic, resume-stable."""
+    from pyspark.sql import Window
+
+    labels = df.select(F.col(cols[0]).alias("label"))
+    for c in cols[1:]:
+        labels = labels.unionAll(df.select(F.col(c).alias("label")))
+    dictionary = (
+        labels.distinct()
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy("label")) + F.lit(start_id - 1),
+        )
+    )
+    out = df
+    for c in cols:
+        m = dictionary.select(
+            F.col("label").alias(c), F.col("id").alias(f"{c}_id")
+        )
+        out = out.join(F.broadcast(m), c, "left")
+    return out, dictionary
+
+
+def stratified_sample_edges(
+    edges: DataFrame, weight_col: str, fractions: dict[int, float] | None = None,
+    n_bins: int = 10, seed: int = 42,
+) -> DataFrame:
+    """G9/W6 (sampleByKey design at DatatoPatternGraph.scala:890-972,
+    binning :923-924): normalize a weight column to [0,1], bin to
+    floor(w·10), stratified-sample by bin."""
+    stats = edges.agg(
+        F.min(weight_col).alias("mn"), F.max(weight_col).alias("mx")
+    ).collect()[0]
+    span = (stats.mx - stats.mn) or 1.0
+    binned = edges.withColumn(
+        "__bin",
+        F.least(
+            F.floor((F.col(weight_col) - F.lit(stats.mn)) / F.lit(span)
+                    * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    if fractions is None:
+        fractions = {b: max(0.1, (b + 1) / n_bins) for b in range(n_bins)}
+    return binned.sampleBy("__bin", fractions, seed).drop("__bin")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NOUS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ParallelGC: G1 (the JDK default) collapses under many concurrent
+        # allocating tasks in local mode — measured 4.8x slower on a
+        # 32-thread parquet write of 8.7M rows. Throughput GC wins for
+        # batch analytics.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,99 @@
+"""PageRank, dictionary encoding, sampling, bootstrap mining, signatures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nous_spark.operators.graph import (
+    dictionary_encode,
+    pagerank,
+    stratified_sample_edges,
+)
+from nous_spark.operators.relations_mining import (
+    edge_label_multiset,
+    mine_pairs_from_seed_predicates,
+    mine_rules_from_seed_pairs,
+    two_edge_signatures,
+)
+
+
+def test_pagerank_star(spark):
+    """star: all leaves point at hub → hub rank highest; NumPy power
+    iteration as the oracle (same GraphX-style update)."""
+    import numpy as np
+
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.rank for r in pagerank(e, max_iter=20).collect()}
+
+    ids = [0, 1, 2, 3, 4]
+    out_deg = {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    r = {i: 1.0 for i in ids}
+    for _ in range(20):
+        new = {}
+        for v in ids:
+            in_sum = sum(
+                r[s] / out_deg[s] for s, d in edges if d == v
+            )
+            new[v] = 0.15 + 0.85 * in_sum
+        r = new
+    for i in ids:
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+    assert got[0] == max(got.values())
+
+
+def test_dictionary_encode(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y")], ["subj", "obj"]
+    )
+    enc, dic = dictionary_encode(df, ["subj", "obj"])
+    d = {r.label: r.id for r in dic.collect()}
+    assert sorted(d.values()) == [0, 1, 2, 3]
+    assert d["a"] < d["b"] < d["x"] < d["y"]  # deterministic: sorted labels
+    rows = enc.collect()
+    assert all(r.subj_id == d[r.subj] and r.obj_id == d[r.obj] for r in rows)
+
+
+def test_stratified_sample(spark):
+    e = spark.createDataFrame(
+        [(i, i + 1, float(i % 100)) for i in range(2000)], ["src", "dst", "w"]
+    )
+    s = stratified_sample_edges(e, "w", seed=7)
+    n = s.count()
+    assert 0 < n < 2000
+    # deterministic under the same seed
+    assert stratified_sample_edges(e, "w", seed=7).count() == n
+
+
+def test_bootstrap_rules(spark):
+    triples = spark.createDataFrame(
+        [("paris", "capital_of", "france"),
+         ("paris city", "located_in", "france republic"),
+         ("berlin", "capital_of", "germany"),
+         ("lyon", "located_in", "france")],
+        ["subj", "pred", "obj"],
+    )
+    seeds = spark.createDataFrame([("paris", "france")], ["seed_subj", "seed_obj"])
+    rules = {r.pred: r.support for r in mine_rules_from_seed_pairs(triples, seeds).collect()}
+    assert rules == {"capital_of": 1, "located_in": 1}
+    pairs = mine_pairs_from_seed_predicates(triples, ["capital_of"]).collect()
+    assert {(r.subj, r.obj) for r in pairs} == {("paris", "france"), ("berlin", "germany")}
+
+
+def test_edge_label_multiset(spark):
+    e = spark.createDataFrame(
+        [(1, 2, "a"), (1, 3, "a"), (1, 4, "b")], ["src", "dst", "pred"]
+    )
+    m = {r.id: dict(r.label_counts) for r in edge_label_multiset(e).collect()}
+    assert m[1] == {"a": 2, "b": 1}
+
+
+def test_two_edge_signatures(spark):
+    v = spark.createDataFrame(
+        [(1, "person"), (2, "city"), (3, "country")], ["id", "label"]
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "lives_in"), (2, 3, "in_country")], ["src", "dst", "pred"]
+    )
+    sigs = {(r.shape, r.sig): r.cnt for r in two_edge_signatures(e, v).collect()}
+    assert ("chain", "person>lives_in>city>in_country>country") in sigs

@@ -1,6 +1,6 @@
 """Pipeline checkpoint/lineage/resume tests (north-rule requirements):
 exact resume after a mid-run kill, per-partition lineage rows, sha256
-invariant enforcement.
+invariant enforcement, normalized-provenance integrity.
 """
 
 from __future__ import annotations
@@ -9,16 +9,20 @@ import pytest
 from pyspark.sql import functions as F
 
 from nous_spark.corpus import corpus_df
-from nous_spark.operators.extraction import extract_triples, with_content_sha
+from nous_spark.operators.extraction import (
+    extract_triples_normalized,
+    with_content_sha,
+    with_doc_id,
+)
 from nous_spark.plans.lineage import StateStore
 from nous_spark.plans.pipeline import run_pipeline
 
 
 def _triple_values(df):
     return sorted(
-        (r.subj, r.pred, r.obj, r.conf, r.repo, r.path, r.content_sha, r.salt)
+        (r.subj, r.pred, r.obj, r.conf, r.kind, r.doc_id, r.salt)
         for r in df.select(
-            "subj", "pred", "obj", "conf", "repo", "path", "content_sha", "salt"
+            "subj", "pred", "obj", "conf", "kind", "doc_id", "salt"
         ).collect()
     )
 
@@ -45,7 +49,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # lineage exists, all sha checks passed, every stage present
     lin = StateStore(spark, str(tmp_path / "p1")).lineage()
     stages = {r.stage for r in lin.collect()}
-    assert {"extract", "canonicalize", "materialize"} <= stages
+    assert {"docs", "extract", "canonicalize", "materialize"} <= stages
     assert lin.filter(~F.col("sha_ok")).count() == 0
     assert lin.filter(F.col("rows_out") <= 0).count() == 0
     # materialized output is pred-partitioned on disk
@@ -53,24 +57,36 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     parts = os.listdir(f"{tmp_path}/p1/state/materialize/batch=0")
     assert any(p.startswith("pred=") for p in parts)
+    # every triple's doc_id resolves to a docs row with the right sha
+    docs = StateStore(spark, str(tmp_path / "p1")).read_all_batches("docs")
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
 
 
 def test_kill_and_resume_identical(spark, tmp_path):
-    """Run A: full pipeline. Run B: 'crashes' after batch 0 of extract,
-    then resumes with a fresh pipeline call → byte-identical triple values."""
+    """Run A: full pipeline. Run B: 'crashes' after batch 0, then resumes
+    with a fresh pipeline call → value-identical triple output."""
     src = corpus_df(spark, n_files=40, seed=11, partitions=4)
     full = run_pipeline(spark, src, str(tmp_path / "full"), n_batches=2, link=False)
     full_vals = _triple_values(full)
 
-    # simulated partial run: only batch 0 of extract completes, then kill
+    # simulated partial run: only batch 0 of docs+extract completes, then kill
     part_root = str(tmp_path / "partial")
     store = StateStore(spark, part_root)
-    srcb = with_content_sha(src).withColumn(
+    srcb = with_doc_id(with_content_sha(src)).withColumn(
         "batch_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2)).cast("int")
     )
     batch0 = srcb.filter(F.col("batch_id") == 0).drop("batch_id")
-    store.run_stage("extract", 0, lambda: extract_triples(batch0),
-                    rows_in=batch0.count())
+    store.run_stage(
+        "docs", 0,
+        lambda: batch0.select("doc_id", "repo", "path", "commit", "lang",
+                              "content_sha"),
+        rows_in=batch0.count(),
+    )
+    store.run_stage(
+        "extract", 0,
+        lambda: extract_triples_normalized(batch0)[0],
+        rows_in=batch0.count(),
+    )
     assert store.is_done("extract", 0) and not store.is_done("extract", 1)
 
     # resume: fresh invocation over the same source
@@ -88,10 +104,22 @@ def test_sha_invariant_violation_raises(spark, tmp_path):
     def corrupt():
         return with_content_sha(src).withColumn(
             "content_sha", F.lit("deadbeef")
-        )
+        ).select("repo", "path", "content_sha")
 
-    from nous_spark.plans.pipeline import _sha_check
+    from nous_spark.plans.pipeline import _docs_sha_check
 
     with pytest.raises(RuntimeError, match="sha256 invariant"):
         store.run_stage("corrupt", 0, corrupt, rows_in=5,
-                        sha_check=_sha_check(src_sha))
+                        sha_check=_docs_sha_check(src_sha))
+
+
+def test_orphan_doc_id_detected(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "orphan"))
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    from nous_spark.plans.pipeline import _triples_doc_check
+
+    def bad():
+        return spark.createDataFrame([(1, "a"), (999, "b")], ["doc_id", "subj"])
+
+    with pytest.raises(RuntimeError, match="sha256 invariant"):
+        store.run_stage("t", 0, bad, rows_in=2, sha_check=_triples_doc_check(docs))

@@ -1,0 +1,78 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must be
+visible in .explain output — pushdown to scan, broadcast joins, no shuffle
+in the extraction fan-out, whole-stage codegen on the aggregation paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nous_spark.corpus import corpus_df
+from nous_spark.operators.extraction import extract_triples
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_has_no_shuffle(spark, tmp_path):
+    """scan → sha → mapInPandas is partition-preserving: zero exchanges."""
+    corpus_df(spark, n_files=30).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    src = spark.read.parquet(str(tmp_path / "s"))
+    plan = _plan(extract_triples(src))
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
+
+
+def test_filter_pushdown_to_scan(spark, tmp_path):
+    corpus_df(spark, n_files=30).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    src = spark.read.parquet(str(tmp_path / "s"))
+    plan = _plan(src.filter(F.col("lang") == "python").select("repo", "path"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan
+    # column pruning: content must not be read
+    assert "content" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_semi_join_broadcasts_small_side(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") > 40)
+    plan = _plan(li.join(p, li.l_partkey == p.p_partkey, "left_semi"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_frequent_filter_broadcasts(spark):
+    from nous_spark.operators.mining import filter_frequent_instances
+
+    inst = spark.createDataFrame([("p1", 1)], ["pattern_key", "x"])
+    freq = spark.createDataFrame([("p1",)], ["pattern_key"])
+    plan = _plan(filter_frequent_instances(inst, freq))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_degree_partial_aggregation(spark, sf_dir):
+    """degrees() must do map-side partial aggregation (HashAggregate
+    before and after the exchange) and stay in whole-stage codegen."""
+    from nous_spark.operators.graph import degrees
+
+    e = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    plan = _plan(degrees(e))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan  # map-side combine before the exchange
+    # column pruning: each union branch scans exactly one column
+    assert "ReadSchema: struct<l_suppkey:bigint>" in plan
+
+
+def test_canonical_rewrite_broadcasts_mapping(spark):
+    from nous_spark.operators.canonicalize import rewrite_triples
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b", "r", "pa")], ["subj", "pred", "obj", "repo", "path"]
+    )
+    mapping = spark.createDataFrame(
+        [("a", "A", 1)], ["label", "canonical_label", "canonical_id"]
+    )
+    plan = _plan(rewrite_triples(triples, mapping))
+    assert plan.count("BroadcastHashJoin") >= 2
