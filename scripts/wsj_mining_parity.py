@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""WSJ mining parity measurement vs the reference's golden outputs.
+
+Runs the exact-semantics miner (nous_spark.operators.mining_exact) on the
+reference's own WSJ int graphs (each batch = wsj_entities.txt type edges +
+that year's facts) with the golden config (misSupport=2, window=3,
+maxPatternSize=2, typeEdge=0, 1y batches starting 2010) and reports
+pattern-set overlap + support agreement against
+Mining/output/frequentPatterns{,PerBatch}.tsv.
+
+Exact equality is not achievable: the reference's output depends on GraphX
+partition order (multi-type head selection — 8,400 multi-typed vertices —
+and the edgeLimit=2 truncation of an unordered list). See the module
+docstring of mining_exact.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/Mining"
+INT = f"{REF}/examples/wsj/intGraphOri"
+
+
+def load_golden(path):
+    out = {}
+    for line in open(path):
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        pat, sup = line.rsplit("\t", 1)
+        out[pat] = int(sup)
+    return out
+
+
+def main() -> None:
+    from nous_spark.operators.mining_exact import ExactPatternMiner, read_int_quads
+    from nous_spark.session import get_spark
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", 16)),
+                      app_name="wsj_parity")
+    entities = read_int_quads(spark, f"{INT}/wsj_entities.txt").persist()
+    entities.count()
+
+    mode = os.environ.get("NOUS_WSJ_MODE", "truncated")  # truncated | superset
+    miner = ExactPatternMiner(
+        spark, mis_support=2, window_batches=3, max_pattern_size=2,
+        type_pred=0, edge_limit=None if mode == "superset" else 2,
+    )
+    print(f"# mode={mode}", file=sys.stderr)
+    for i, year in enumerate(range(2010, 2016)):
+        batch_id = 40 + i  # driver increments per file from getBatchId(2010,'1y')
+        facts = read_int_quads(spark, f"{INT}/wsj_facts_{year}.txt")
+        quads = entities.unionByName(facts)
+        freq = miner.process_batch(quads, batch_id)
+        print(f"# batch {batch_id} ({year}): {freq.count()} frequent patterns",
+              file=sys.stderr)
+
+    got = {r.pat_str: r.support for r in miner.frequent_patterns().collect()}
+    golden = load_golden(f"{REF}/output/frequentPatterns.tsv")
+
+    got_set, gold_set = set(got), set(golden)
+    inter = got_set & gold_set
+    sup_match = sum(1 for p in inter if got[p] == golden[p])
+    sup_close = sum(1 for p in inter
+                    if abs(got[p] - golden[p]) <= max(1, 0.1 * golden[p]))
+
+    # orientation-normalized: the reference's 2-edge concatenation order is
+    # partition-order dependent (both (A),(B) and (B),(A) occur in golden);
+    # normalize by sorting the edge list within each pattern
+    def norm(p):
+        import re
+        edges = re.findall(r"\([-\d]+,[-\d]+,[-\d]+\)", p)
+        return ", ".join(sorted(edges))
+
+    got_n = {norm(p) for p in got_set}
+    gold_n = {norm(p) for p in gold_set}
+    res = {
+        "metric": "wsj_frequent_pattern_overlap",
+        "golden_patterns": len(gold_set),
+        "our_patterns": len(got_set),
+        "recall": round(len(inter) / len(gold_set), 4),
+        "precision": round(len(inter) / max(len(got_set), 1), 4),
+        "recall_orientation_normalized": round(
+            len(got_n & gold_n) / max(len(gold_n), 1), 4),
+        "precision_orientation_normalized": round(
+            len(got_n & gold_n) / max(len(got_n), 1), 4),
+        "support_exact_match_on_overlap": round(sup_match / max(len(inter), 1), 4),
+        "support_within_10pct": round(sup_close / max(len(inter), 1), 4),
+    }
+
+    # per-batch (pre-join) frequent comparison
+    pb_got = {(r.batch_id, r.pat_str): r.support
+              for r in miner.per_batch_frequent().collect()}
+    pb_gold = {}
+    for line in open(f"{REF}/output/frequentPatternsPerBatch.tsv"):
+        b, pat, sup = line.rstrip("\n").split("\t")
+        pb_gold[(int(b), pat)] = int(sup)
+    pb_inter = set(pb_got) & set(pb_gold)
+    res["per_batch_recall"] = round(len(pb_inter) / max(len(pb_gold), 1), 4)
+    res["per_batch_precision"] = round(len(pb_inter) / max(len(pb_got), 1), 4)
+    res["per_batch_support_exact"] = round(
+        sum(1 for k in pb_inter if pb_got[k] == pb_gold[k]) / max(len(pb_inter), 1), 4
+    )
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
