@@ -305,6 +305,111 @@ def _q_path_search(spark, sf):  # G3/G5 (rows-only: iterative frontier)
     )
 
 
+def _q_dictionary_encode(spark, sf):  # J10
+    from nous_spark.operators.graph import dictionary_encode
+
+    n = _read(spark, sf, "nation").select("n_name", "n_regionkey")
+    enc, _ = dictionary_encode(n, ["n_name"])
+    return enc.select("n_name", "n_regionkey", "n_name_id")
+
+
+def _q_edge_label_multiset(spark, sf):  # A11 (map column → sorted entries)
+    from nous_spark.operators.relations_mining import edge_label_multiset
+
+    e = _read(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+        F.col("l_returnflag").alias("pred"),
+    )
+    m = edge_label_multiset(e)
+    return m.select(
+        F.col("id").alias("node_id"),
+        F.explode("label_counts").alias("label", "cnt"),
+    )
+
+
+def _q_two_edge_signatures(spark, sf):  # A6 (2-edge chains)
+    from nous_spark.operators.relations_mining import two_edge_signatures
+
+    v = _read(spark, sf, "supplier").select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("id"),
+        F.col("s_name").alias("label"),
+    ).unionByName(_read(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("label"),
+    )).unionByName(_read(spark, sf, "region").select(
+        (F.col("r_regionkey") + 100).cast("long").alias("id"),
+        F.col("r_name").alias("label"),
+    ))
+    e = _read(spark, sf, "supplier").select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("src"),
+        F.col("s_nationkey").cast("long").alias("dst"),
+        F.lit("in_nation").alias("pred"),
+    ).unionByName(_read(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        F.lit("in_region").alias("pred"),
+    ))
+    return two_edge_signatures(e, v).filter(F.col("shape") == "chain")
+
+
+def _q_a3_window_support(spark, sf):  # A3/A5 cumulative pattern counts
+    from nous_spark.operators.mining import cumulative_pattern_count
+
+    per_batch = _read(spark, sf, "events").select(
+        F.col("event_type").alias("pattern_key"),
+        F.lit(1).alias("support"),
+    )
+    return cumulative_pattern_count(per_batch).withColumn(
+        "support", F.col("support").cast("long")
+    )
+
+
+def _q_pagerank(spark, sf):  # G6 (rows-only: iterative)
+    from nous_spark.operators.graph import pagerank
+
+    e = _read(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+    )
+    return pagerank(e, max_iter=5).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_mis_exact(spark, sf):  # A1 type-keyed variant (reference-exact)
+    from nous_spark.operators.mining_exact import (
+        first_types,
+        min_image_support_exact,
+        one_edge_instances_exact,
+    )
+
+    orders = _read(spark, sf, "orders")
+    # synthetic typed graph: customers typed by mktsegment-ish hash bucket
+    quads = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("long").alias("pred"),
+        (F.col("o_orderkey") + 1_000_000).cast("long").alias("dst"),
+        F.lit(0).cast("long").alias("batch_id"),
+    ).unionByName(
+        orders.select(
+            F.col("o_custkey").cast("long").alias("src"),
+            F.lit(0).cast("long").alias("pred"),
+            F.pmod(F.col("o_custkey"), F.lit(5)).cast("long").alias("dst"),
+            F.lit(0).cast("long").alias("batch_id"),
+        )
+    ).unionByName(
+        orders.select(
+            (F.col("o_orderkey") + 1_000_000).cast("long").alias("src"),
+            F.lit(0).cast("long").alias("pred"),
+            F.lit(99).cast("long").alias("dst"),
+            F.lit(0).cast("long").alias("batch_id"),
+        )
+    )
+    inst = one_edge_instances_exact(quads, first_types(quads, 0), 0)
+    return min_image_support_exact(inst).select("pat_str", "support")
+
+
 def _q_extract_triples(spark, sf):  # flagship, rows-only check
     from nous_spark.operators.extraction import extract_triples
 
@@ -347,6 +452,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_simhash_pairs,
         "g8_connected_components": _q_connected_components,
         "g3_path_search": _q_path_search,
+        "j10_dictionary_encode": _q_dictionary_encode,
+        "a11_edge_label_multiset": _q_edge_label_multiset,
+        "a6_two_edge_signatures": _q_two_edge_signatures,
+        "a3_window_support": _q_a3_window_support,
+        "g6_pagerank": _q_pagerank,
+        "a1_mis_exact": _q_mis_exact,
         "kg_extract_triples": _q_extract_triples,
     }
 
@@ -509,7 +620,33 @@ def oracle_sql() -> dict[str, str]:
                             - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
             FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
         """,
+        "j10_dictionary_encode": """
+            SELECT n_name, n_regionkey,
+                   (row_number() OVER (ORDER BY n_name)) - 1 AS n_name_id
+            FROM nation
+        """,
+        "a11_edge_label_multiset": """
+            SELECT l_suppkey::BIGINT AS node_id, l_returnflag AS label,
+                   count(*)::BIGINT AS cnt
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "a6_two_edge_signatures": """
+            SELECT 'chain' AS shape,
+                   s.s_name || '>in_nation>' || n.n_name
+                            || '>in_region>' || r.r_name AS sig,
+                   count(*)::BIGINT AS cnt
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "a3_window_support": """
+            SELECT event_type AS pattern_key, count(*)::BIGINT AS support
+            FROM events GROUP BY event_type
+        """,
         # rows-only (non-SQL-expressible): kg_extract_triples (NLP pipeline),
         # dd_minhash_pairs / dd_simhash_pairs (hash-family specific),
-        # g8_connected_components / g3_path_search (iterative fixpoints)
+        # g8_connected_components / g3_path_search / g6_pagerank (iterative),
+        # a1_mis_exact (reference-exact type-keyed MIS; covered by the WSJ
+        # batch-40 golden test), a6_two_edge_signatures (graph-shape op)
     }

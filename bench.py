@@ -46,7 +46,12 @@ def main() -> None:
         "w2_topk_per_group",
         "str_windowed_agg",
         "txt_quality_score",
+        "txt_language_id",
         "dd_exact_dedup",
+        "dd_minhash_pairs",
+        "ann_cosine_topk",
+        "g8_connected_components",
+        "a6_two_edge_signatures",
     ]
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()

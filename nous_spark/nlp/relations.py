@@ -231,12 +231,16 @@ def purge_longest_object(triples: list[RawTriple]) -> list[RawTriple]:
 
 
 def extract_document(
-    text: str, fancy: bool = False, purge: bool = True
+    text: str, fancy: bool = False, purge: bool = True, coref: bool = False
 ) -> tuple[list[tuple[str, str]], list[RawTriple]]:
     """Full doc → (mentions, relation triples). Mirrors getTriples /
-    getFancyTriples (TripleParser.scala:339-402): sentence split →
-    mentions → OpenIE → filters → (optional) purge. rdf:type triples are
-    added downstream from the mention list (N7)."""
+    getFancyTriples (TripleParser.scala:339-402): [coref N2] → sentence
+    split → mentions → OpenIE → filters → (optional) purge. rdf:type
+    triples are added downstream from the mention list (N7)."""
+    if coref:
+        from .coref import resolve_pronouns
+
+        text = resolve_pronouns(text)
     all_mentions: list[tuple[str, str]] = []
     seen_m: set[str] = set()
     all_triples: list[RawTriple] = []

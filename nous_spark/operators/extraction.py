@@ -57,7 +57,7 @@ def with_doc_id(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
-def _run_extraction(d: dict, fancy: bool, code_mode: bool):
+def _run_extraction(d: dict, fancy: bool, code_mode: bool, coref: bool = False):
     """Yield (mentions, triples, index) per document of a pydict batch."""
     from nous_spark.nlp.code_extract import extract_code_document
     from nous_spark.nlp.relations import extract_document
@@ -73,10 +73,10 @@ def _run_extraction(d: dict, fancy: bool, code_mode: bool):
                 repos[i], paths[i], (langs[i] or "").lower(), content, fancy
             ), i
         else:
-            yield extract_document(content, fancy=fancy), i
+            yield extract_document(content, fancy=fancy, coref=coref), i
 
 
-def _wide_batches(batches, fancy: bool, code_mode: bool):
+def _wide_batches(batches, fancy: bool, code_mode: bool, coref: bool = False):
     import pyarrow as pa
 
     names = ["subj", "pred", "obj", "conf", "kind",
@@ -84,7 +84,7 @@ def _wide_batches(batches, fancy: bool, code_mode: bool):
     for batch in batches:
         d = batch.to_pydict()
         cols: dict[str, list] = {k: [] for k in names}
-        for (mentions, triples), i in _run_extraction(d, fancy, code_mode):
+        for (mentions, triples), i in _run_extraction(d, fancy, code_mode, coref):
             repo, path = d["repo"][i], d["path"][i]
             commit, sha = d["commit"][i], d["content_sha"][i]
             src = f"{repo}/{path}" if repo or path else ""
@@ -118,7 +118,7 @@ def _wide_batches(batches, fancy: bool, code_mode: bool):
         )
 
 
-def _narrow_batches(batches, fancy: bool, code_mode: bool):
+def _narrow_batches(batches, fancy: bool, code_mode: bool, coref: bool = False):
     import pyarrow as pa
 
     for batch in batches:
@@ -129,7 +129,7 @@ def _narrow_batches(batches, fancy: bool, code_mode: bool):
         conf: list = []
         kind: list = []
         did: list = []
-        for (mentions, triples), i in _run_extraction(d, fancy, code_mode):
+        for (mentions, triples), i in _run_extraction(d, fancy, code_mode, coref):
             docid = d["doc_id"][i]
             for tag, phrase in mentions:
                 subj.append(phrase)
@@ -168,6 +168,7 @@ def extract_triples(
     fancy: bool = False,
     code_mode: bool = True,
     lang_filter: str | list[str] | None = None,
+    coref: bool = False,
 ) -> DataFrame:
     """source(repo,path,commit,lang,content[,content_sha]) → wide triples DF.
 
@@ -181,7 +182,7 @@ def extract_triples(
         if c not in df.columns:
             df = df.withColumn(c, F.lit(""))
     return df.mapInArrow(
-        lambda it: _wide_batches(it, fancy, code_mode), schema=TRIPLE_SCHEMA
+        lambda it: _wide_batches(it, fancy, code_mode, coref), schema=TRIPLE_SCHEMA
     )
 
 
@@ -190,6 +191,7 @@ def extract_triples_normalized(
     fancy: bool = False,
     code_mode: bool = True,
     lang_filter: str | list[str] | None = None,
+    coref: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Normalized-provenance extraction: returns (triples, docs).
 
@@ -204,7 +206,7 @@ def extract_triples_normalized(
         df = with_doc_id(df)
     docs = df.select("doc_id", "repo", "path", "commit", "lang", "content_sha")
     triples = df.mapInArrow(
-        lambda it: _narrow_batches(it, fancy, code_mode),
+        lambda it: _narrow_batches(it, fancy, code_mode, coref),
         schema=NARROW_TRIPLE_SCHEMA,
     )
     return triples, docs

@@ -76,3 +76,18 @@ def test_fixture_corpus_pr():
     recall = tp / max(1, len(golden_set))
     assert precision >= 0.95, f"precision {precision:.3f}; extra={sorted(got - golden_set)[:10]}"
     assert recall >= 0.95, f"recall {recall:.3f}; missing={sorted(golden_set - got)[:10]}"
+
+
+def test_coref_substitution():
+    """N2 (CorefTransform.transform, TripleParser.scala:68-120): pronouns
+    resolve to the representative mention of the previous sentence."""
+    _, t = extract_document(
+        "Obama was born in Hawaii. He is with Google in Seattle.", coref=True
+    )
+    rels = {(x.subj, x.pred, x.obj) for x in t}
+    assert ("Obama", "is with", "Google in Seattle") in rels
+    _, t2 = extract_document(
+        "Aerialtronics is a Dutch company. It is based in Amsterdam.", coref=True
+    )
+    rels2 = {(x.subj, x.pred, x.obj) for x in t2}
+    assert ("Aerialtronics", "is based in", "Amsterdam") in rels2
