@@ -167,6 +167,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP-LSH bucketing for candidates
+    (high-cosine pairs collide with high probability at small n_bits),
+    exact cosine verify. Returns (a, b, cosine) with a < b."""
+    from nous_spark.functions.similarity import cosine_col
+    from nous_spark.operators.ann import lsh_signatures
+
+    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
+                         vec_col=vec_col)
+    l = sig.alias("l")
+    r = sig.alias("r")
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """SimHash per doc: sign-sum of per-token hash bits, JVM-side.

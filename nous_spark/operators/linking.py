@@ -158,6 +158,17 @@ def candidate_pairs(
     )
 
 
+def best_prefix_match(targets: DataFrame, labels: DataFrame,
+                      target_col: str = "query", label_col: str = "label") -> DataFrame:
+    """J11 (PathSearchUtils.getBestStringMatch, PathSearchUtils.scala:17-38):
+    for each query string, the lexicographically smallest label it is a
+    prefix of (min_by over startswith-join)."""
+    t = targets.select(F.col(target_col).alias("query")).distinct()
+    l = labels.select(F.col(label_col).alias("label")).distinct()
+    j = t.join(l, F.col("label").startswith(F.col("query")))
+    return j.groupBy("query").agg(F.min("label").alias("best_match"))
+
+
 def candidate_neighborhoods(edges: DataFrame, vertices: DataFrame,
                             candidate_ids: DataFrame) -> DataFrame:
     """J3 (NodeProp.getOneHopNbrIdsLabels, NodeProp.scala:7-22): one-hop

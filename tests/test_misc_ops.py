@@ -165,3 +165,41 @@ def test_fingerprint_normalizes(spark):
     )
     out = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_read_topic_matrix(spark, tmp_path):
+    p = tmp_path / "topics.txt"
+    p.write_text("1\t0.5,0.25,0.25\n2\t1.0,0.0,0.0\n")
+    from nous_spark.sources.readers import read_topic_matrix
+
+    out = {r.vid: r.topic for r in read_topic_matrix(spark, str(p)).collect()}
+    assert out[1] == [0.5, 0.25, 0.25] and out[2] == [1.0, 0.0, 0.0]
+
+
+def test_best_prefix_match(spark):
+    from nous_spark.operators.linking import best_prefix_match
+
+    targets = spark.createDataFrame([("barack",), ("albert",)], ["query"])
+    labels = spark.createDataFrame(
+        [("barack obama",), ("barack obama sr",), ("alan turing",)], ["label"]
+    )
+    out = {r.query: r.best_match for r in best_prefix_match(targets, labels).collect()}
+    assert out == {"barack": "barack obama"}
+
+
+def test_embedding_near_duplicates(spark):
+    from nous_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.99, 0.01, 0.0]),    # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.a, r.b): r.cosine
+             for r in embedding_near_duplicates(df, dim=4, threshold=0.95,
+                                                n_bits=4, n_tables=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (3, 4) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
