@@ -326,9 +326,11 @@ def link_entities(
             "evidence_wt",
             1.0 / F.size(F.collect_set("mention").over(w)).cast("double"),
         )
+    # referenced by the candidate join, the scored join and the unmatched
+    # anti-join — persist once instead of recomputing the upstream thrice
     mentions = mentions.select(
         F.col("doc_id").cast("string").alias("doc_id"), "mention", "evidence_wt"
-    ).dropDuplicates(["doc_id", "mention"])
+    ).dropDuplicates(["doc_id", "mention"]).persist()
 
     ents = vertices_with_alias(kg_triples)
     edges = kg_edges(kg_triples)
@@ -349,7 +351,7 @@ def link_entities(
             pdf, lam, phrase_match_threshold, mention_entity_threshold, n_vertices
         ),
         schema=_LINK_SCHEMA,
-    )
+    ).persist()  # read twice: result union + unmatched anti-join
 
     unmatched = (
         mentions.join(linked.select("doc_id", "mention"), ["doc_id", "mention"],

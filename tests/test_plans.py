@@ -76,3 +76,19 @@ def test_canonical_rewrite_broadcasts_mapping(spark):
     )
     plan = _plan(rewrite_triples(triples, mapping))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_linking_no_cartesian(spark):
+    """Candidate generation must stay blocked — no cartesian/nested-loop
+    joins anywhere in the linking plan."""
+    from nous_spark.operators.linking import link_entities
+
+    kg = spark.createDataFrame(
+        [("a", "rdfs:label", "A"), ("a", "knows", "b"), ("b", "rdfs:label", "B")],
+        ["subj", "pred", "obj"],
+    )
+    mentions = spark.createDataFrame([("d1", "A"), ("d1", "B")], ["doc_id", "mention"])
+    plan = _plan(link_entities(mentions, kg))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
