@@ -145,7 +145,7 @@ def candidate_pairs(
         for m, ns in zip(mention, names):
             best = 0.0
             for n in ns if ns is not None else []:
-                s = string_sim(m, n, phrase_match_threshold)
+                s = string_sim(m, n, phrase_match_threshold, decision_only=True)
                 if s > best:
                     best = s
             out.append(best)
@@ -233,7 +233,8 @@ def _solve_doc(pdf: pd.DataFrame, lam: float, phrase_threshold: float,
             nbrs = ent_info[eid][1]
             common = 0
             for cm in ctx:
-                if any(string_sim(nl, cm, phrase_threshold) > phrase_threshold
+                if any(string_sim(nl, cm, phrase_threshold,
+                                  decision_only=True) > phrase_threshold
                        for nl in nbrs):
                     common += 1
             denom = max(len(ctx) * len(nbrs), 1)
