@@ -69,7 +69,7 @@ def _python_file(rng: random.Random) -> str:
         lines.append(f"    # {_sentence(rng)}")
         lines.append(f"    acc = []")
         for _ in range(rng.randint(2, 6)):
-            lines.append(f"    acc.append({rng.choice(_CALLEES)}(x, limit))")
+            lines.append(f"    acc.append({rng.choice(_CALLEES + _FUNCS)}(x, limit))")
         lines.append(f"    total = sum(len(str(a)) for a in acc)")
         lines.append(f"    if total > limit:")
         lines.append(f"        return {rng.choice(_CALLEES)}(acc)")
@@ -115,7 +115,7 @@ def _go_file(rng: random.Random) -> str:
         lines.append(f"func {fn}(n int) int {{")
         lines.append(f"\tacc := {rng.randint(0, 9)}")
         lines.append(f"\tfor i := 0; i < n; i++ {{")
-        lines.append(f"\t\tacc += {rng.choice(_CALLEES)}(i)")
+        lines.append(f"\t\tacc += {rng.choice(_CALLEES + _FUNCS)}(i)")
         lines.append("\t}")
         lines.append("\treturn acc")
         lines.append("}")

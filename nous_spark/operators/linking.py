@@ -314,11 +314,18 @@ def link_entities(
     phrase_match_threshold: float = 0.7,
     mention_entity_threshold: float = 0.0,
     lam: float = 0.00001,
+    candidate_types: list[str] | None = None,
 ) -> DataFrame:
     """Full collective linking: returns (doc_id, mention, entity_id,
     entity_label, score). Unmatched mentions become 'nous: <mention>'
     entities (reference :101-109). mentions must carry doc_id, mention;
-    evidence_wt defaults to 1/#mentions-in-doc (NLPTripleParser.scala:79)."""
+    evidence_wt defaults to 1/#mentions-in-doc (NLPTripleParser.scala:79).
+
+    ``candidate_types``: restrict the candidate universe to entities with
+    an rdf:type in the list (e.g. ["FUNCTION", "CLASS", "MODULE"] for code
+    identifier mentions) — candidates stay typed-correct and the blocked
+    join shrinks by the prose share of the KG. Neighborhood/context
+    features still use the FULL graph."""
     if "evidence_wt" not in mentions.columns:
         from pyspark.sql import Window
 
@@ -334,6 +341,24 @@ def link_entities(
     ).dropDuplicates(["doc_id", "mention"]).persist()
 
     ents = vertices_with_alias(kg_triples)
+    if candidate_types is not None:
+        typed = (
+            kg_triples.filter(
+                (F.col("pred") == "rdf:type")
+                & F.col("obj").isin(candidate_types)
+            )
+            .select(F.xxhash64("subj").alias("id"))
+            .distinct()
+        )
+        # code entities are fully qualified ("repo/path::name"); the short
+        # trailing segment is the alias a callee mention uses
+        ents = ents.join(typed, "id", "left_semi").withColumn(
+            "names",
+            F.array_union(
+                "names",
+                F.array(F.element_at(F.split(F.col("label"), "::"), -1)),
+            ),
+        )
     edges = kg_edges(kg_triples)
     verts = kg_vertices(kg_triples)
     n_vertices = verts.count()

@@ -129,7 +129,12 @@ def run_pipeline(
             store.run_stage(
                 "link",
                 b,
-                lambda mentions=mentions, kg=kg: link_entities(mentions, kg),
+                # callee mentions are code identifiers → candidates come
+                # from the code-entity universe only
+                lambda mentions=mentions, kg=kg: link_entities(
+                    mentions, kg,
+                    candidate_types=["FUNCTION", "CLASS", "MODULE"],
+                ),
                 rows_in=mentions.count(),
             )
 

@@ -149,3 +149,25 @@ def test_canonicalize_code_short_names(spark):
     assert "r1/a.py::load_data" in call_objs
     # ambiguous short name must stay unresolved (no merge of distinct fns)
     assert "run" in call_objs
+
+
+def test_candidate_types_restriction(spark):
+    """candidate_types restricts the candidate universe to typed entities;
+    other mentions fall back to nous: minting."""
+    kg = spark.createDataFrame(
+        [
+            ("r/a.py::run", "rdf:type", "FUNCTION"),
+            ("r/a.py", "defines_function", "r/a.py::run"),
+            ("run club", "rdf:type", "O"),      # prose entity sharing token
+            ("run club", "is in", "berlin"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    mentions = spark.createDataFrame([("d1", "run")], ["doc_id", "mention"])
+    links = link_entities(
+        mentions, kg, phrase_match_threshold=0.4,
+        candidate_types=["FUNCTION", "CLASS", "MODULE"],
+    ).collect()
+    by = {(r.doc_id, r.mention): r.entity_label for r in links}
+    # prose 'run club' must not be a candidate; FUNCTION entity wins
+    assert by[("d1", "run")] == "r/a.py::run"
