@@ -7,20 +7,21 @@ Column expressions.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import functions as F
 
-_SPLITTERS = (" ", "_", ",", "$")
+_SPLIT_RE = re.compile(r"[ _,$]")
 
 
 def _split_words(phrase: str) -> list[str]:
-    out = [phrase.lower()]
-    for s in _SPLITTERS:
-        nxt = []
-        for w in out:
-            nxt.extend(w.split(s))
-        out = nxt
-    return sorted(w for w in out if w)
+    """Mirror Scala ``String.split(Array(' ','_',',','$'))``: internal and
+    leading empty tokens are KEPT (``"a, b"`` → ``["a","","b"]``), only
+    trailing empties are dropped (Java split with limit 0)."""
+    parts = _SPLIT_RE.split(phrase.lower())
+    while parts and parts[-1] == "":
+        parts.pop()
+    return sorted(parts)
 
 
 def _levenshtein(a: str, b: str) -> int:

@@ -44,20 +44,24 @@ def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc: for k seeded mixes of the shingle hashes,
-    take the min — all inside one JVM-side transform, no UDF."""
-    # permutation family: h_i(x) = xxhash64(x, i, seed) — independent,
-    # overflow-free under ANSI mode (multiplicative mixing overflows LONG).
-    # NB: constants must be bound via a factory, not lambda default args —
-    # PySpark reads lambda arity, and a second parameter becomes the array
-    # index argument of transform().
-    def perm(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i), F.lit(seed))
+    take the min — all inside ONE JVM-side aggregate pass, no UDF.
 
-    sigs = F.array(*[
-        F.array_min(F.transform(F.col("shingle_hashes"), perm(i)))
-        for i in range(num_hashes)
-    ])
-    return shingled.select("id", sigs.alias("signature"))
+    The permutation family is h_i(x) = xxhash64(x, i, seed) — independent,
+    overflow-free under ANSI mode (multiplicative mixing overflows LONG).
+    A single ``aggregate`` scan carries all ``num_hashes`` running minima
+    in an array accumulator, instead of ``num_hashes`` separate
+    transform+array_min scans of the shingle array (32× fewer array
+    traversals per row — this was the slowest query at sf0.1)."""
+    idx = F.array(*[F.lit(i) for i in range(num_hashes)])
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        F.col("shingle_hashes"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda m, i: F.least(m, F.xxhash64(h, i, F.lit(seed)))
+        ),
+    )
+    return shingled.select("id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -107,8 +111,11 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → signature → banded bucket
     join → exact Jaccard verification on candidates only. Returns
-    (a, b, jaccard) pairs above threshold."""
-    sh = shingles(df, text_col, id_col, n)
+    (a, b, jaccard) pairs above threshold.
+
+    ``sh`` feeds three consumers (signatures + both verify sides) — persist
+    it once so the shingling scan isn't recomputed per consumer."""
+    sh = shingles(df, text_col, id_col, n).persist()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
     sh_a = sh.select(F.col("id").alias("a"), F.col("shingle_hashes").alias("sh_a"))

@@ -116,18 +116,46 @@ def dictionary_encode(
 ) -> tuple[DataFrame, DataFrame]:
     """J10 (Mining/scripts/getIntGraph.py:22-55 — offline in the reference):
     label → dense int id. Returns (encoded_df, dictionary(label, id)).
-    Dense ids come from row_number over sorted distinct labels —
-    deterministic, resume-stable."""
+
+    Dense ids = global rank of the label in sorted order — deterministic and
+    resume-stable — but computed WITHOUT a global single-partition window:
+    distinct labels are range-partitioned by label, each partition numbers
+    its rows locally, and tiny per-partition counts (one row per partition)
+    are cumsum'd on the driver into offsets. Identical ids to
+    ``row_number().over(Window.orderBy(label))`` at any scale, with no
+    single-task sort of the whole dictionary."""
     from pyspark.sql import Window
 
     labels = df.select(F.col(cols[0]).alias("label"))
     for c in cols[1:]:
         labels = labels.unionAll(df.select(F.col(c).alias("label")))
-    dictionary = (
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
         labels.distinct()
-        .withColumn(
-            "id",
-            F.row_number().over(Window.orderBy("label")) + F.lit(start_id - 1),
+        .repartitionByRange(n_parts, "label")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # one row per partition — safe to collect at any dictionary size
+    part_counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(part_counts, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += part_counts.get(pid, 0)
+    offsets_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], ["__pid", "__offset"])
+    )
+    local_w = Window.partitionBy("__pid").orderBy("label")
+    dictionary = (
+        ranged.withColumn("__rn", F.row_number().over(local_w))
+        .join(offsets_df, "__pid")
+        .select(
+            "label",
+            (F.col("__rn") + F.col("__offset") + F.lit(start_id - 1)).alias("id"),
         )
     )
     out = df
@@ -170,19 +198,20 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """G8: hash-to-min connected components over an undirected edge list.
+    """G8: connected components = hash-to-min + pointer jumping.
 
     Returns (id, component) where component = min vertex id reachable.
-    The reference has no alias-collapse; the north rule requires a
-    GraphFrames-style label propagation — this is the standard
-    small-star/large-star-flavored hash-to-min fixpoint:
+    Each round does
 
-        comp(v) ← min(comp(v), min over neighbors comp(u))
+        comp(v) ← min(comp(v), min over neighbors comp(u))   (hash-to-min)
+        comp(v) ← comp(comp(v))                               (pointer jump)
 
-    iterated to fixpoint. Each round is one shuffle (groupBy id); lineage
-    is truncated every round via localCheckpoint (or parquet round-trip if
-    ``checkpoint_dir`` given) so plans stay bounded — essential for 100 TB
-    inputs where 20 chained joins would blow up the plan.
+    The jump is sound because comp(v) is always a vertex reachable from v,
+    so comp(comp(v)) is too (undirected reachability is transitive), and it
+    halves pointer chains each round — O(log n) rounds on long chains
+    instead of O(diameter), which is the difference between 60 and 20 000
+    shuffles on a 100 TB alias graph with stringy components. Lineage is
+    truncated every round via localCheckpoint so plans stay bounded.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -209,6 +238,15 @@ def connected_components(
             .unionAll(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: comp(v) ← comp(comp(v)); component values are always
+        # vertex ids present in new_comp, so the inner join is total
+        jump = new_comp.select(
+            F.col("id").alias("component"), F.col("component").alias("__c2")
+        )
+        new_comp = (
+            new_comp.join(jump, "component")
+            .select("id", F.col("__c2").alias("component"))
         )
         new_comp = new_comp.localCheckpoint(eager=True)
         changed = (

@@ -82,11 +82,14 @@ def two_edge_signatures(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         )
         .withColumn("shape", F.lit("chain"))
     )
+    # each unordered fork {e_i, e_j} is emitted exactly once: strict order
+    # on (pred, dst) so equal-pred forks aren't double-counted relative to
+    # distinct-pred ones (the reference pairs incident edges once per i<j)
     forks = (
         a.join(b, (F.col("a.src") == F.col("b.src"))
-               & ((F.col("a.dst") != F.col("b.dst"))
-                  | (F.col("a.pred") < F.col("b.pred"))))
-        .filter(F.col("a.pred") <= F.col("b.pred"))
+               & ((F.col("a.pred") < F.col("b.pred"))
+                  | ((F.col("a.pred") == F.col("b.pred"))
+                     & (F.col("a.dst") < F.col("b.dst")))))
         .select(
             F.concat_ws(
                 "<", F.col("a.dst_t"), F.col("a.pred"), F.col("a.src_t"),

@@ -106,6 +106,19 @@ class StateStore:
             self.lineage_path(stage, batch_id)
         )
         if not sha_ok:
+            # A failed invariant must NOT leave a resumable "done" stage on
+            # disk. The lineage rows above keep sha_ok=false for diagnostics,
+            # but both _SUCCESS markers are dropped so is_done() stays false
+            # and the next run recomputes (and re-checks) instead of silently
+            # serving the corrupt output.
+            for marker in (
+                os.path.join(self.stage_path(stage, batch_id), "_SUCCESS"),
+                os.path.join(self.lineage_path(stage, batch_id), "_SUCCESS"),
+            ):
+                try:
+                    os.remove(marker)
+                except FileNotFoundError:
+                    pass
             raise RuntimeError(
                 f"sha256 invariant violated in stage={stage} batch={batch_id}"
             )

@@ -52,6 +52,7 @@ def _docs_sha_check(source_sha: DataFrame):
             got.join(source_sha, ["repo", "path"], "left")
             .filter(
                 F.col("content_sha").isNull()
+                | F.col("src_sha").isNull()  # docs row with no source row
                 | (F.col("content_sha") != F.col("src_sha"))
             )
             .limit(1)
