@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -288,7 +289,7 @@ def _q_connected_components(spark, sf):  # G8 (rows-only: iterative fixpoint)
     return connected_components(e)
 
 
-def _q_path_search(spark, sf):  # G3/G5 (rows-only: iterative frontier)
+def _q_path_search(spark, sf):  # G3/G5, DuckDB oracle = 3-hop unrolled CTEs
     from nous_spark.operators.pathsearch import find_paths
 
     n = _read(spark, sf, "nation").select(
@@ -296,12 +297,19 @@ def _q_path_search(spark, sf):  # G3/G5 (rows-only: iterative frontier)
         (F.col("n_regionkey") + 100).cast("long").alias("dst"),
         F.lit("in_region").alias("pred"),
     )
+    # pairs share a region (regionkey = nationkey mod 5 in the testdata), so
+    # each has exactly one 2-hop path through the region hub
     pairs = spark.createDataFrame(
-        [(1, 0, 1), (2, 2, 3)], ["pair_id", "src_id", "dst_id"]
+        [(1, 0, 5), (2, 2, 7)], ["pair_id", "src_id", "dst_id"]
     )
     res = find_paths(n, pairs, max_hops=3, bidirectional=True)
     return res.select(
-        "pair_id", F.col("hops"), F.concat_ws("->", "preds").alias("pred_chain")
+        "pair_id",
+        F.col("hops"),
+        F.concat_ws("->", "preds").alias("pred_chain"),
+        F.concat_ws("->", F.transform("path", lambda x: x.cast("string"))).alias(
+            "path_str"
+        ),
     )
 
 
@@ -410,6 +418,269 @@ def _q_mis_exact(spark, sf):  # A1 type-keyed variant (reference-exact)
     return min_image_support_exact(inst).select("pat_str", "support")
 
 
+_FIXTURES = "/root/repo/fixtures/readers"
+
+
+def _q_j2_candidate_pairs(spark, sf):  # J2 token-blocked candidates, dice verify
+    from nous_spark.operators.linking import candidate_pairs
+
+    part = _read(spark, sf, "part")
+    mentions = part.filter(F.col("p_partkey") < 50).select(
+        F.col("p_partkey").cast("string").alias("doc_id"),
+        F.split("p_name", " ")[0].alias("mention"),
+    )
+    entities = part.filter(F.col("p_partkey") < 500).select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("label"),
+        F.array("p_name").alias("names"),
+    )
+    return candidate_pairs(
+        mentions, entities, phrase_match_threshold=0.6, sim_mode="dice"
+    )
+
+
+def _q_j2_candidate_pairs_stringsim(spark, sf):  # J2 full StringSim verify (rows-only)
+    from nous_spark.operators.linking import candidate_pairs
+
+    part = _read(spark, sf, "part")
+    mentions = part.filter(F.col("p_partkey") < 50).select(
+        F.col("p_partkey").cast("string").alias("doc_id"),
+        F.split("p_name", " ")[0].alias("mention"),
+    )
+    entities = part.filter(F.col("p_partkey") < 500).select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("label"),
+        F.array("p_name").alias("names"),
+    )
+    return candidate_pairs(mentions, entities, phrase_match_threshold=0.6)
+
+
+def _q_j6_grow_patterns(spark, sf):  # J6 pattern-growth self-join
+    from nous_spark.operators.mining import grow_patterns
+
+    o = _read(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    inst = o.select(
+        F.col("o_orderpriority").alias("pattern_key"),
+        F.array(F.col("o_orderkey").cast("long")).alias("binding"),
+        F.array(F.col("o_custkey").cast("long")).alias("endpoints"),
+        F.lit(0).cast("int").alias("batch_id"),
+        F.col("o_orderkey").cast("long").alias("inst_id"),
+    )
+    g = grow_patterns(inst, per_key_cap=None)
+    return g.select(
+        "pattern_key",
+        F.concat_ws(",", F.transform("binding", lambda x: x.cast("string"))).alias(
+            "binding_str"
+        ),
+        "batch_id",
+        F.col("endpoints")[0].alias("endpoint"),
+    )
+
+
+def _q_f8_dice_sim(spark, sf):  # F8 StringSim set-similarity stage
+    from nous_spark.functions.similarity import dice_sim_col, split_words_col
+
+    p = _read(spark, sf, "part").select("p_partkey", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(b, F.col("a.p_partkey") + 1 == F.col("b.p_partkey")).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.round(
+            dice_sim_col(
+                split_words_col(F.col("a.p_name")), split_words_col(F.col("b.p_name"))
+            ),
+            6,
+        ).alias("dice"),
+    )
+
+
+def _q_f8_string_sim(spark, sf):  # F8 full StringSim (rows-only: merge alignment)
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        from nous_spark.functions.similarity import string_sim
+
+        return pd.Series([string_sim(x, y) for x, y in zip(a, b)])
+
+    p = _read(spark, sf, "part").select("p_partkey", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(b, F.col("a.p_partkey") + 1 == F.col("b.p_partkey")).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.round(sim(F.col("a.p_name"), F.col("b.p_name")), 6).alias("sim"),
+    )
+
+
+def _q_a7_popularity(spark, sf):  # A7 popularity score
+    from nous_spark.operators.linking import popularity_scores
+
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    s = _read(spark, sf, "supplier")
+    cands = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.lit("d0").alias("doc_id"),
+        F.col("r_name").alias("mention"),
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+    )
+    nbr_counts = s.groupBy(
+        F.col("s_nationkey").cast("long").alias("entity_id")
+    ).agg(F.count("*").alias("n_nbrs"))
+    return popularity_scores(cands, nbr_counts).select(
+        "doc_id", "mention", "entity_id", "pop_score"
+    )
+
+
+def _q_a8_context_score(spark, sf):  # A8 context score (exact matcher)
+    from nous_spark.operators.linking import context_scores
+
+    n = _read(spark, sf, "nation")
+    s = _read(spark, sf, "supplier")
+    mentions = n.select(
+        F.col("n_regionkey").cast("string").alias("doc_id"),
+        F.col("n_name").alias("mention"),
+    )
+    cands = n.select(
+        F.col("n_regionkey").cast("string").alias("doc_id"),
+        F.col("n_name").alias("mention"),
+        F.col("n_nationkey").cast("long").alias("entity_id"),
+    )
+    # neighborhood of nation e: the name of nation (e+5) mod 25 (same
+    # region, hence in context) plus its suppliers' names (never mentions)
+    peer = n.select(F.col("n_nationkey").alias("pk"), F.col("n_name").alias("pn"))
+    nbrs = (
+        n.join(peer, F.pmod(n.n_nationkey + 5, F.lit(25)) == peer.pk)
+        .select(
+            F.col("n_nationkey").cast("long").alias("entity_id"),
+            F.col("pn").alias("nbr_label"),
+        )
+        .unionByName(
+            s.select(
+                F.col("s_nationkey").cast("long").alias("entity_id"),
+                F.col("s_name").alias("nbr_label"),
+            )
+        )
+    )
+    return context_scores(cands, mentions, nbrs)
+
+
+def _q_a9_semantic_relatedness(spark, sf):  # A9 Milne-Witten relatedness
+    from nous_spark.operators.linking import semantic_relatedness_pairs
+
+    li = _read(spark, sf, "lineitem")
+    n_parts = _read(spark, sf, "part").count()
+    nbrs = li.select(
+        F.col("l_suppkey").cast("long").alias("entity_id"),
+        F.col("l_partkey").cast("string").alias("nbr_label"),
+    )
+    return semantic_relatedness_pairs(nbrs, n_parts)
+
+
+def _q_w3_argmax_entity(spark, sf):  # W3 argmax candidate per mention
+    pop = _q_a7_popularity(spark, sf)
+    w = Window.partitionBy("doc_id", "mention").orderBy(
+        F.col("pop_score").desc(), F.col("entity_id")
+    )
+    return (
+        pop.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "mention", "entity_id", "pop_score")
+    )
+
+
+def _q_j3_neighborhoods(spark, sf):  # J3 one-hop neighbor labels
+    from nous_spark.operators.linking import candidate_neighborhoods
+
+    s = _read(spark, sf, "supplier")
+    n = _read(spark, sf, "nation")
+    edges = s.select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("src"),
+        F.col("s_nationkey").cast("long").alias("dst"),
+        F.lit("in_nation").alias("pred"),
+    )
+    vertices = s.select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("id"),
+        F.col("s_name").alias("label"),
+    ).unionByName(
+        n.select(F.col("n_nationkey").cast("long").alias("id"), F.col("n_name").alias("label"))
+    )
+    cand = n.select(F.col("n_nationkey").cast("long").alias("entity_id"))
+    nb = candidate_neighborhoods(edges, vertices, cand)
+    return nb.select("entity_id", F.explode("nbr_labels").alias("nbr_label"))
+
+
+def _q_j11_prefix_match(spark, sf):  # J11 best prefix match
+    from nous_spark.operators.linking import best_prefix_match
+
+    c = _read(spark, sf, "customer")
+    targets = c.select(F.substring("c_name", 1, 17).alias("query"))
+    labels = c.select(F.col("c_name").alias("label"))
+    return best_prefix_match(targets, labels)
+
+
+def _q_s8_triples_reader(spark, sf):  # S8 TSV triple scan over fixture
+    from nous_spark.sources.readers import read_triples_tsv
+
+    return read_triples_tsv(spark, f"{_FIXTURES}/triples.tsv")
+
+
+def _q_s9_quad_reader(spark, sf):  # S9 temporal int-quad scan over fixture
+    from nous_spark.sources.readers import read_temporal_quads
+
+    return read_temporal_quads(
+        spark, f"{_FIXTURES}/quads.tsv", batch_ms=3_600_000
+    ).select("src", "pred", "dst", "ts", "batch_id")
+
+
+def _q_s10_lg_reader(spark, sf):  # S10 LG-format scan over fixture
+    from nous_spark.sources.readers import read_lg_graph
+
+    v, e = read_lg_graph(spark, f"{_FIXTURES}/graph.lg")
+    return v.select(
+        F.lit("v").alias("kind"),
+        F.col("id").alias("x"),
+        F.lit(-1).cast("long").alias("y"),
+        "label",
+    ).unionByName(
+        e.select(
+            F.lit("e").alias("kind"),
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.col("pred").alias("label"),
+        )
+    )
+
+
+def _q_s12_topic_reader(spark, sf):  # S12 topic-matrix scan over fixture
+    from nous_spark.sources.readers import read_topic_matrix
+
+    t = read_topic_matrix(spark, f"{_FIXTURES}/topics.tsv")
+    return t.select("vid", F.posexplode("topic").alias("pos", "val")).withColumn(
+        "val", F.round("val", 6)
+    )
+
+
+def _q_ann_lsh_topk(spark, sf):  # ANN scale path (rows-only: hash family)
+    from nous_spark.operators.ann import lsh_topk
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, q, dim=dim, k=10)
+
+
+def _q_embedding_near_dups(spark, sf):  # embedding near-dup (rows-only)
+    from nous_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_duplicates(emb, dim=dim, threshold=0.9)
+
+
 def _q_extract_triples(spark, sf):  # flagship, rows-only check
     from nous_spark.operators.extraction import extract_triples
 
@@ -459,6 +730,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_pagerank": _q_pagerank,
         "a1_mis_exact": _q_mis_exact,
         "kg_extract_triples": _q_extract_triples,
+        "j2_candidate_pairs": _q_j2_candidate_pairs,
+        "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
+        "j6_grow_patterns": _q_j6_grow_patterns,
+        "f8_dice_sim": _q_f8_dice_sim,
+        "f8_string_sim": _q_f8_string_sim,
+        "a7_popularity": _q_a7_popularity,
+        "a8_context_score": _q_a8_context_score,
+        "a9_semantic_relatedness": _q_a9_semantic_relatedness,
+        "w3_argmax_entity": _q_w3_argmax_entity,
+        "j3_neighborhoods": _q_j3_neighborhoods,
+        "j11_prefix_match": _q_j11_prefix_match,
+        "s8_triples_reader": _q_s8_triples_reader,
+        "s9_quad_reader": _q_s9_quad_reader,
+        "s10_lg_reader": _q_s10_lg_reader,
+        "s12_topic_reader": _q_s12_topic_reader,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dd_embedding_pairs": _q_embedding_near_dups,
     }
 
 
@@ -644,9 +932,287 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS pattern_key, count(*)::BIGINT AS support
             FROM events GROUP BY event_type
         """,
+        "j2_candidate_pairs": """
+            WITH e AS (SELECT p_partkey::BIGINT AS entity_id, p_name AS entity_label
+                       FROM part WHERE p_partkey < 500),
+            ew AS (SELECT entity_id, entity_label,
+                          unnest(list_distinct(list_filter(
+                            regexp_split_to_array(lower(entity_label), '[ _,$]'),
+                            w -> len(w) > 0))) AS token
+                   FROM e),
+            tc AS (SELECT token FROM (SELECT token, count(*) AS c FROM ew GROUP BY token)
+                   WHERE c <= 2000),
+            ew2 AS (SELECT ew.* FROM ew JOIN tc USING (token)),
+            m AS (SELECT p_partkey::VARCHAR AS doc_id, split_part(p_name, ' ', 1) AS mention
+                  FROM part WHERE p_partkey < 50),
+            mw AS (SELECT doc_id, mention,
+                          unnest(list_distinct(list_filter(
+                            regexp_split_to_array(lower(mention), '[ _,$]'),
+                            w -> len(w) > 0))) AS token
+                   FROM m),
+            blocked AS (SELECT DISTINCT mw.doc_id, mw.mention, ew2.entity_id, ew2.entity_label
+                        FROM mw JOIN ew2 USING (token))
+            SELECT * FROM (
+              SELECT doc_id, mention, entity_id, entity_label,
+                round(2.0 * len(list_intersect(
+                        list_distinct(list_filter(regexp_split_to_array(lower(mention), '[ _,$]'), w -> len(w) > 0)),
+                        list_distinct(list_filter(regexp_split_to_array(lower(entity_label), '[ _,$]'), w -> len(w) > 0))))
+                      / greatest(
+                          len(list_distinct(list_filter(regexp_split_to_array(lower(mention), '[ _,$]'), w -> len(w) > 0)))
+                        + len(list_distinct(list_filter(regexp_split_to_array(lower(entity_label), '[ _,$]'), w -> len(w) > 0))),
+                          1)::DOUBLE, 6) AS name_sim
+              FROM blocked)
+            WHERE name_sim >= 0.6
+        """,
+        "j6_grow_patterns": """
+            SELECT DISTINCT
+                   a.o_orderpriority || '+' || b.o_orderpriority AS pattern_key,
+                   a.o_orderkey::VARCHAR || ',' || b.o_orderkey::VARCHAR AS binding_str,
+                   0 AS batch_id,
+                   a.o_custkey::BIGINT AS endpoint
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+            WHERE a.o_orderkey % 4 = 0 AND b.o_orderkey % 4 = 0
+        """,
+        "f8_dice_sim": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   round(2.0 * len(list_intersect(
+                       list_distinct(list_filter(regexp_split_to_array(lower(a.p_name), '[ _,$]'), w -> len(w) > 0)),
+                       list_distinct(list_filter(regexp_split_to_array(lower(b.p_name), '[ _,$]'), w -> len(w) > 0))))
+                     / greatest(
+                         len(list_distinct(list_filter(regexp_split_to_array(lower(a.p_name), '[ _,$]'), w -> len(w) > 0)))
+                       + len(list_distinct(list_filter(regexp_split_to_array(lower(b.p_name), '[ _,$]'), w -> len(w) > 0))),
+                         1)::DOUBLE, 6) AS dice
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+        """,
+        "a7_popularity": """
+            WITH nc AS (SELECT s_nationkey::BIGINT AS entity_id, count(*) AS n_nbrs
+                        FROM supplier GROUP BY 1),
+            c AS (SELECT 'd0' AS doc_id, r_name AS mention, n_nationkey::BIGINT AS entity_id
+                  FROM nation JOIN region ON n_regionkey = r_regionkey),
+            j AS (SELECT c.*, nc.n_nbrs FROM c JOIN nc USING (entity_id))
+            SELECT doc_id, mention, entity_id,
+                   round(n_nbrs / greatest(sum(n_nbrs) OVER (PARTITION BY doc_id, mention), 1)::DOUBLE, 6)
+                   AS pop_score
+            FROM j
+        """,
+        "a8_context_score": """
+            WITH m AS (SELECT n_regionkey::VARCHAR AS doc_id, n_name AS mention FROM nation),
+            cand AS (SELECT n_regionkey::VARCHAR AS doc_id, n_name AS mention,
+                            n_nationkey::BIGINT AS entity_id FROM nation),
+            nb AS (SELECT n1.n_nationkey::BIGINT AS entity_id, n2.n_name AS nbr_label
+                   FROM nation n1 JOIN nation n2 ON (n1.n_nationkey + 5) % 25 = n2.n_nationkey
+                   UNION ALL
+                   SELECT s_nationkey::BIGINT, s_name FROM supplier),
+            ctx AS (SELECT a.doc_id, a.mention, lower(b.mention) AS ctx_mention
+                    FROM m a JOIN m b USING (doc_id) WHERE a.mention != b.mention),
+            nctx AS (SELECT doc_id, mention, count(DISTINCT ctx_mention) AS n_ctx
+                     FROM ctx GROUP BY 1, 2),
+            nbl AS (SELECT DISTINCT entity_id, lower(nbr_label) AS nl FROM nb),
+            nn AS (SELECT entity_id, count(*) AS n_nbrs FROM nbl GROUP BY 1),
+            mt AS (SELECT c.doc_id, c.mention, c.entity_id,
+                          count(DISTINCT x.ctx_mention) AS common
+                   FROM cand c
+                   JOIN ctx x ON c.doc_id = x.doc_id AND c.mention = x.mention
+                   JOIN nbl ON nbl.entity_id = c.entity_id AND nbl.nl = x.ctx_mention
+                   GROUP BY 1, 2, 3)
+            SELECT c.doc_id, c.mention, c.entity_id,
+                   round(2.0 * coalesce(mt.common, 0)
+                         / greatest(coalesce(nctx.n_ctx, 0) * coalesce(nn.n_nbrs, 0), 1)::DOUBLE,
+                         6) AS ctx_score
+            FROM cand c
+            LEFT JOIN mt ON c.doc_id = mt.doc_id AND c.mention = mt.mention
+                        AND c.entity_id = mt.entity_id
+            LEFT JOIN nctx ON c.doc_id = nctx.doc_id AND c.mention = nctx.mention
+            LEFT JOIN nn ON c.entity_id = nn.entity_id
+        """,
+        "a9_semantic_relatedness": """
+            WITH nb AS (SELECT DISTINCT l_suppkey::BIGINT AS entity_id,
+                                        l_partkey::VARCHAR AS nbr_label FROM lineitem),
+            sz AS (SELECT entity_id, count(*) AS sz FROM nb GROUP BY 1),
+            cm AS (SELECT x.entity_id AS e1, y.entity_id AS e2, count(*) AS common
+                   FROM nb x JOIN nb y
+                     ON x.nbr_label = y.nbr_label AND x.entity_id < y.entity_id
+                   GROUP BY 1, 2),
+            j AS (SELECT cm.*, s1.sz AS sz1, s2.sz AS sz2
+                  FROM cm JOIN sz s1 ON cm.e1 = s1.entity_id
+                          JOIN sz s2 ON cm.e2 = s2.entity_id)
+            SELECT e1, e2, relatedness FROM (
+              SELECT e1, e2,
+                round(1.0 - (ln(greatest(sz1, sz2)::DOUBLE) - ln(common::DOUBLE))
+                      / (ln(greatest((SELECT count(*) FROM part), 2)::DOUBLE)
+                         - ln(greatest(least(sz1, sz2), 1)::DOUBLE)), 6) AS relatedness,
+                (ln(greatest((SELECT count(*) FROM part), 2)::DOUBLE)
+                 - ln(greatest(least(sz1, sz2), 1)::DOUBLE)) AS denom
+              FROM j)
+            WHERE denom > 0 AND relatedness > 0
+        """,
+        "w3_argmax_entity": """
+            WITH nc AS (SELECT s_nationkey::BIGINT AS entity_id, count(*) AS n_nbrs
+                        FROM supplier GROUP BY 1),
+            c AS (SELECT 'd0' AS doc_id, r_name AS mention, n_nationkey::BIGINT AS entity_id
+                  FROM nation JOIN region ON n_regionkey = r_regionkey),
+            j AS (SELECT c.*, nc.n_nbrs FROM c JOIN nc USING (entity_id)),
+            p AS (SELECT doc_id, mention, entity_id,
+                         round(n_nbrs / greatest(sum(n_nbrs) OVER (PARTITION BY doc_id, mention), 1)::DOUBLE, 6)
+                         AS pop_score
+                  FROM j)
+            SELECT doc_id, mention, entity_id, pop_score FROM p
+            QUALIFY row_number() OVER (PARTITION BY doc_id, mention
+                                       ORDER BY pop_score DESC, entity_id) = 1
+        """,
+        "j3_neighborhoods": """
+            SELECT DISTINCT n_nationkey::BIGINT AS entity_id, s_name AS nbr_label
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "j11_prefix_match": """
+            SELECT q.query, min(c.c_name) AS best_match
+            FROM (SELECT DISTINCT substr(c_name, 1, 17) AS query FROM customer) q
+            JOIN customer c ON starts_with(c.c_name, q.query)
+            GROUP BY q.query
+        """,
+        "s8_triples_reader": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/triples.tsv')),
+            valid AS (SELECT line FROM raw
+                      WHERE length(line) > 0 AND NOT starts_with(line, '#')
+                        AND NOT starts_with(line, '@')),
+            p AS (SELECT string_split(line, chr(9)) AS parts FROM valid)
+            SELECT * FROM (
+              SELECT trim(lower(regexp_replace(parts[1], '[<>]', '', 'g'))) AS subj,
+                     trim(lower(regexp_replace(parts[2], '[<>]', '', 'g'))) AS pred,
+                     trim(regexp_replace(lower(regexp_replace(parts[3], '[<>]', '', 'g')),
+                          '\\s*\\.\\s*$', '')) AS obj
+              FROM p)
+            WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL
+              AND length(subj) > 0 AND length(obj) > 0
+        """,
+        "s9_quad_reader": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/quads.tsv')),
+            p AS (SELECT string_split(line, chr(9)) AS parts FROM raw WHERE length(line) > 0),
+            c AS (SELECT try_cast(parts[1] AS BIGINT) AS src,
+                         try_cast(parts[2] AS BIGINT) AS pred,
+                         try_cast(parts[3] AS BIGINT) AS dst,
+                         try_cast(regexp_replace(parts[4],
+                             '(\\d{4})/(\\d{2})/\\s', '\\1/\\2/01 ') AS TIMESTAMP) AS ts
+                  FROM p)
+            SELECT src, pred, dst, ts,
+                   floor(epoch_ms(ts) / 3600000)::BIGINT AS batch_id
+            FROM c
+            WHERE src IS NOT NULL AND pred IS NOT NULL AND dst IS NOT NULL
+              AND ts IS NOT NULL
+        """,
+        "s10_lg_reader": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/graph.lg'))
+            SELECT 'v' AS kind,
+                   string_split(line, ' ')[2]::BIGINT AS x,
+                   (-1)::BIGINT AS y,
+                   string_split(line, ' ')[3] AS label
+            FROM raw WHERE starts_with(line, 'v ')
+            UNION ALL
+            SELECT 'e',
+                   string_split(line, ' ')[2]::BIGINT,
+                   string_split(line, ' ')[3]::BIGINT,
+                   string_split(line, ' ')[4]
+            FROM raw WHERE starts_with(line, 'e ')
+        """,
+        "s12_topic_reader": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/topics.tsv')),
+            t AS (SELECT string_split(line, chr(9)) AS parts FROM raw WHERE length(line) > 0),
+            x AS (SELECT try_cast(parts[1] AS BIGINT) AS vid,
+                         list_transform(string_split(parts[2], ','), s -> s::DOUBLE) AS topic
+                  FROM t)
+            SELECT vid, unnest(range(len(topic))) AS pos, round(unnest(topic), 6) AS val
+            FROM x WHERE vid IS NOT NULL
+        """,
+        "g3_path_search": """
+            WITH e AS (
+              SELECT n_nationkey::BIGINT AS f, (n_regionkey + 100)::BIGINT AS t,
+                     'in_region' AS pred FROM nation
+              UNION ALL
+              SELECT (n_regionkey + 100)::BIGINT, n_nationkey::BIGINT, '~in_region'
+              FROM nation),
+            pairs(pair_id, src_id, dst_id) AS (
+              VALUES (1, 0::BIGINT, 5::BIGINT), (2, 2::BIGINT, 7::BIGINT)),
+            h1 AS (SELECT p.pair_id, p.dst_id, e.t AS last,
+                          [p.src_id, e.t] AS path, [e.pred] AS preds
+                   FROM pairs p JOIN e ON e.f = p.src_id),
+            d1 AS (SELECT pair_id, 1 AS hops, preds, path FROM h1 WHERE last = dst_id),
+            f1 AS (SELECT * FROM h1 WHERE last != dst_id),
+            h2 AS (SELECT f1.pair_id, f1.dst_id, e.t AS last,
+                          list_append(f1.path, e.t) AS path,
+                          list_append(f1.preds, e.pred) AS preds
+                   FROM f1 JOIN e ON e.f = f1.last
+                   WHERE NOT list_contains(f1.path, e.t)),
+            d2 AS (SELECT pair_id, 2 AS hops, preds, path FROM h2 WHERE last = dst_id),
+            f2 AS (SELECT * FROM h2 WHERE last != dst_id),
+            h3 AS (SELECT f2.pair_id, f2.dst_id, e.t AS last,
+                          list_append(f2.path, e.t) AS path,
+                          list_append(f2.preds, e.pred) AS preds
+                   FROM f2 JOIN e ON e.f = f2.last
+                   WHERE NOT list_contains(f2.path, e.t)),
+            d3 AS (SELECT pair_id, 3 AS hops, preds, path FROM h3 WHERE last = dst_id)
+            SELECT pair_id, hops,
+                   array_to_string(preds, '->') AS pred_chain,
+                   array_to_string(list_transform(path, x -> x::VARCHAR), '->') AS path_str
+            FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        """,
+        "g8_connected_components": """
+            WITH sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT o_custkey::BIGINT AS a, (o_orderkey + 1000000)::BIGINT AS b
+                   FROM orders
+                   UNION ALL
+                   SELECT (o_orderkey + 1000000)::BIGINT, o_custkey::BIGINT FROM orders)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id)
+            SELECT id, component FROM c2
+        """,
+        "g6_pagerank": """
+            WITH e AS (SELECT n_nationkey::BIGINT AS f, (n_regionkey + 100)::BIGINT AS t
+                       FROM nation),
+            od AS (SELECT f, count(*) AS d FROM e GROUP BY f),
+            v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+            r0 AS (SELECT id, 1.0 AS rank FROM v),
+            r1 AS (SELECT v.id, 0.15 + 0.85 * coalesce(s.m, 0) AS rank FROM v LEFT JOIN (
+                   SELECT e.t AS id, sum(r0.rank / od.d) AS m
+                   FROM e JOIN r0 ON r0.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
+                 ON v.id = s.id),
+            r2 AS (SELECT v.id, 0.15 + 0.85 * coalesce(s.m, 0) AS rank FROM v LEFT JOIN (
+                   SELECT e.t AS id, sum(r1.rank / od.d) AS m
+                   FROM e JOIN r1 ON r1.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
+                 ON v.id = s.id),
+            r3 AS (SELECT v.id, 0.15 + 0.85 * coalesce(s.m, 0) AS rank FROM v LEFT JOIN (
+                   SELECT e.t AS id, sum(r2.rank / od.d) AS m
+                   FROM e JOIN r2 ON r2.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
+                 ON v.id = s.id),
+            r4 AS (SELECT v.id, 0.15 + 0.85 * coalesce(s.m, 0) AS rank FROM v LEFT JOIN (
+                   SELECT e.t AS id, sum(r3.rank / od.d) AS m
+                   FROM e JOIN r3 ON r3.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
+                 ON v.id = s.id),
+            r5 AS (SELECT v.id, 0.15 + 0.85 * coalesce(s.m, 0) AS rank FROM v LEFT JOIN (
+                   SELECT e.t AS id, sum(r4.rank / od.d) AS m
+                   FROM e JOIN r4 ON r4.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
+                 ON v.id = s.id)
+            SELECT id, round(rank, 6) AS rank FROM r5
+        """,
         # rows-only (non-SQL-expressible): kg_extract_triples (NLP pipeline),
-        # dd_minhash_pairs / dd_simhash_pairs (hash-family specific),
-        # g8_connected_components / g3_path_search / g6_pagerank (iterative),
-        # a1_mis_exact (reference-exact type-keyed MIS; covered by the WSJ
-        # batch-40 golden test), a6_two_edge_signatures (graph-shape op)
+        # dd_minhash_pairs / dd_simhash_pairs / ann_lsh_topk /
+        # dd_embedding_pairs (hash-family specific), a1_mis_exact
+        # (reference-exact type-keyed MIS; covered by the WSJ batch-40 golden
+        # test), j2_candidate_pairs_stringsim / f8_string_sim (merge-alignment
+        # stage is sequential; the Dice stage is oracled above)
     }

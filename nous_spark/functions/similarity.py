@@ -109,6 +109,28 @@ def js_divergence(p: list[float], q: list[float]) -> float:
     return 0.5 * kl_divergence(p, m) + 0.5 * kl_divergence(q, m)
 
 
+def split_words_col(c):
+    """Column-expression analog of ``_split_words``: lowercase, split on the
+    StringSim separator class, distinct non-empty words. Set semantics (the
+    Scala keeps multiplicity; distinct is documented and mirrored in the
+    DuckDB gate oracle)."""
+    return F.array_distinct(
+        F.filter(
+            F.split(F.lower(c), "[ _,$]"), lambda w: F.length(w) > 0
+        )
+    )
+
+
+def dice_sim_col(a_words, b_words):
+    """Set-Dice over two word-array columns — the set-similarity stage of
+    StringSim.getsim (EntityDisambiguation/.../utils/StringSim.scala:6-20)
+    as a pure JVM Column expression (no UDF): 2·|A∩B| / (|A|+|B|)."""
+    inter = F.size(F.array_intersect(a_words, b_words))
+    return (F.lit(2.0) * inter) / F.greatest(
+        F.size(a_words) + F.size(b_words), F.lit(1)
+    ).cast("double")
+
+
 def jaccard_col(a, b):
     """F10 (MathUtils.scala:51-56) as a Column expression over arrays."""
     return F.size(F.array_intersect(a, b)) / F.greatest(

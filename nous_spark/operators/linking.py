@@ -86,6 +86,7 @@ def candidate_pairs(
     entities: DataFrame,
     phrase_match_threshold: float = 0.7,
     max_candidates_per_token: int = 2000,
+    sim_mode: str = "stringsim",
 ) -> DataFrame:
     """J2: token-blocked candidate generation + exact StringSim verify.
 
@@ -98,6 +99,12 @@ def candidate_pairs(
     dropped — same role as the reference's edgeLimit, but lossless for any
     mention whose other tokens still block (reference instead does a full
     V×M cross product: NodeProp.scala:25-78).
+
+    ``sim_mode``: "stringsim" (default) verifies with the full reference
+    StringSim (Dice + merge alignment) in an Arrow-batched pandas UDF;
+    "dice" verifies with the Dice stage only, entirely JVM-side — the fast
+    path when labels are multi-word and the alignment stage rarely decides
+    (also the DuckDB-oracle-gated mode).
     """
     m_tok = mentions.select(
         "doc_id", "mention",
@@ -136,6 +143,21 @@ def candidate_pairs(
         .select("doc_id", "mention", "entity_id", "entity_label", "names")
         .dropDuplicates(["doc_id", "mention", "entity_id"])
     )
+
+    if sim_mode == "dice":
+        from nous_spark.functions.similarity import dice_sim_col, split_words_col
+
+        m_words = split_words_col(F.col("mention"))
+        sim = F.array_max(
+            F.transform(
+                "names", lambda nm: dice_sim_col(m_words, split_words_col(nm))
+            )
+        )
+        return (
+            blocked.withColumn("name_sim", F.round(sim, 6))
+            .filter(F.col("name_sim") >= phrase_match_threshold)
+            .drop("names")
+        )
 
     @F.pandas_udf(T.DoubleType())
     def best_name_sim(mention: pd.Series, names: pd.Series) -> pd.Series:
@@ -188,6 +210,141 @@ def candidate_neighborhoods(edges: DataFrame, vertices: DataFrame,
         .groupBy("id")
         .agg(F.collect_set("nbr_label").alias("nbr_labels"))
         .withColumnRenamed("id", "entity_id")
+    )
+
+
+def popularity_scores(candidates: DataFrame, nbr_counts: DataFrame) -> DataFrame:
+    """A7 (CollectiveEntityDisScores.getPopularityScore, reference
+    CollectiveEntityDisScores.scala:103-123) as a distributed op:
+    pop(m, e) = |nbrs(e)| / Σ_{e' ∈ cand(m)} |nbrs(e')|, windowed per
+    (doc_id, mention) — never a global window.
+
+    candidates(doc_id, mention, entity_id) × nbr_counts(entity_id, n_nbrs)
+    → + pop_score."""
+    from pyspark.sql import Window
+
+    j = candidates.join(nbr_counts, "entity_id")
+    w = Window.partitionBy("doc_id", "mention")
+    return j.withColumn(
+        "pop_score",
+        F.round(
+            F.col("n_nbrs")
+            / F.greatest(F.sum("n_nbrs").over(w), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+def context_scores(
+    candidates: DataFrame, mentions: DataFrame, nbrs: DataFrame
+) -> DataFrame:
+    """A8 (getMentionEntityScore context half,
+    CollectiveEntityDisScores.scala:124-147) with the exact-match matcher:
+    sim(m, e) = 2·|{ctx mention equal (lowercase) to some nbr label}|
+                / (|ctx(m)| · |nbrs(e)|).
+
+    The full-StringSim matcher runs inside the per-doc solve
+    (``_solve_doc``); this distributed variant trades the fuzzy matcher for
+    a pure join plan that covers the whole corpus in one pass.
+
+    candidates(doc_id, mention, entity_id), mentions(doc_id, mention),
+    nbrs(entity_id, nbr_label) → (doc_id, mention, entity_id, ctx_score)."""
+    m = mentions.select("doc_id", "mention").distinct()
+    ctx = (
+        m.alias("a")
+        .join(m.alias("b"), "doc_id")
+        .filter(F.col("a.mention") != F.col("b.mention"))
+        .select(
+            "doc_id",
+            F.col("a.mention").alias("mention"),
+            F.lower(F.col("b.mention")).alias("ctx_mention"),
+        )
+    )
+    n_ctx = ctx.groupBy("doc_id", "mention").agg(
+        F.countDistinct("ctx_mention").alias("n_ctx")
+    )
+    nbr_l = nbrs.select(
+        F.col("entity_id").alias("__eid"), F.lower(F.col("nbr_label")).alias("nl")
+    ).distinct()
+    n_nbr = nbr_l.groupBy("__eid").agg(F.count("*").alias("n_nbrs"))
+    cand = candidates.select("doc_id", "mention", "entity_id").distinct()
+    matched = (
+        cand.join(ctx, ["doc_id", "mention"])
+        .join(
+            nbr_l,
+            (F.col("entity_id") == F.col("__eid"))
+            & (F.col("ctx_mention") == F.col("nl")),
+        )
+        .groupBy("doc_id", "mention", "entity_id")
+        .agg(F.countDistinct("ctx_mention").alias("common"))
+    )
+    return (
+        cand.join(matched, ["doc_id", "mention", "entity_id"], "left")
+        .join(n_ctx, ["doc_id", "mention"], "left")
+        .join(n_nbr, cand.entity_id == n_nbr["__eid"], "left")
+        .select(
+            "doc_id",
+            "mention",
+            "entity_id",
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("common", F.lit(0))
+                / F.greatest(
+                    F.coalesce("n_ctx", F.lit(0)) * F.coalesce("n_nbrs", F.lit(0)),
+                    F.lit(1),
+                ).cast("double"),
+                6,
+            ).alias("ctx_score"),
+        )
+    )
+
+
+def semantic_relatedness_pairs(
+    nbrs: DataFrame, n_graph_vertices: int
+) -> DataFrame:
+    """A9 (getSemanticRelatedness, CollectiveEntityDisScores.scala:60-101;
+    Milne-Witten) as a distributed inverted-index plan — never all-pairs:
+    entities sharing a neighbor label meet in the label-keyed self-join.
+
+        sr(a,b) = 1 − (ln max(|A|,|B|) − ln |A∩B|)
+                     / (ln max(N,2) − ln max(min(|A|,|B|), 1))
+
+    for entity pairs a < b with |A∩B| > 0 and sr > 0 (same guards as the
+    per-doc solve in ``_solve_doc``).
+
+    nbrs(entity_id, nbr_label) → (e1, e2, relatedness)."""
+    import math
+
+    n = nbrs.select("entity_id", "nbr_label").distinct()
+    sizes = n.groupBy("entity_id").agg(F.count("*").alias("sz"))
+    common = (
+        n.alias("x")
+        .join(n.alias("y"), "nbr_label")
+        .filter(F.col("x.entity_id") < F.col("y.entity_id"))
+        .groupBy(
+            F.col("x.entity_id").alias("e1"), F.col("y.entity_id").alias("e2")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(
+            sizes.select(F.col("entity_id").alias("e1"), F.col("sz").alias("sz1")),
+            "e1",
+        )
+        .join(
+            sizes.select(F.col("entity_id").alias("e2"), F.col("sz").alias("sz2")),
+            "e2",
+        )
+    )
+    mx = F.greatest("sz1", "sz2").cast("double")
+    mn = F.greatest(F.least("sz1", "sz2"), F.lit(1)).cast("double")
+    log_n = math.log(max(n_graph_vertices, 2))
+    denom = F.lit(log_n) - F.log(mn)
+    sr = F.lit(1.0) - (F.log(mx) - F.log(F.col("common").cast("double"))) / denom
+    return (
+        j.filter(denom > 0)
+        .select("e1", "e2", F.round(sr, 6).alias("relatedness"))
+        .filter(F.col("relatedness") > 0)
     )
 
 
