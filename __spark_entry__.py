@@ -681,6 +681,86 @@ def _q_embedding_near_dups(spark, sf):  # embedding near-dup (rows-only)
     return embedding_near_duplicates(emb, dim=dim, threshold=0.9)
 
 
+def _q_s5_autodetect(spark, sf):  # S5 plugin JSON format auto-detection
+    from nous_spark.sources.readers import detect_and_parse_json
+
+    return detect_and_parse_json(spark, f"{_FIXTURES}/corpus.jsonl")
+
+
+def _q_g9_sample_v1(spark, sf):  # G9/V1 with q=1 (deterministic keep-set)
+    from nous_spark.operators.sampling import (
+        sample_and_hold_v1,
+        tail_vertices,
+        vertex_scores,
+    )
+
+    li = _read(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 10000).cast("long").alias("dst"),
+        F.lit("link").alias("pred"),
+    )
+    tails = tail_vertices(vertex_scores(edges, "degree"), range_pct=10)
+    return sample_and_hold_v1(edges, tails, q=1.0, p=0.0, seed=1)
+
+
+def _q_g7_pic(spark, sf):  # G7 power-iteration clustering (rows-only)
+    from nous_spark.operators.clustering import power_iteration_clustering
+
+    li = _read(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    sim = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    out = power_iteration_clustering(sim, k=4, max_iter=6)
+    return out.select("id", "cluster")
+
+
+def _q_lp_bpr_metrics(spark, sf):  # BPR link prediction (rows-only)
+    from nous_spark.operators.link_prediction import bpr_evaluate, bpr_train
+
+    o = _read(spark, sf, "orders").filter(F.col("o_custkey") < 60)
+    inter = o.select(
+        F.col("o_custkey").cast("long").alias("user"),
+        F.pmod(F.col("o_orderkey"), F.lit(24)).cast("long").alias("item"),
+    ).dropDuplicates()
+    test = inter.filter(F.pmod(F.col("item"), F.lit(5)) == 0)
+    train = inter.subtract(test)
+    P, Q, B = bpr_train(
+        spark, train, n_items=24, epochs=2, steps_per_user=30, k=6,
+        n_blocks=4, seed=3,
+    )
+    m = bpr_evaluate(P, Q, B, train, test, top_n=5)
+    return spark.createDataFrame(
+        [(float(m["HR"]), float(m["ARHR"]), float(m["AUC"]))],
+        ["hr", "arhr", "auc"],
+    )
+
+
+def _q_mm_image_stats(spark, sf):  # multimodal: real PNG decode (rows-only)
+    import numpy as np
+
+    from nous_spark.operators.multimodal import decode_image_stats, encode_png
+
+    rows = []
+    for i in range(16):
+        img = np.random.default_rng(i).integers(
+            0, 256, (8 + i % 5, 12 + i % 3, 3), dtype=np.uint8
+        )
+        rows.append((i, bytearray(encode_png(img))))
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"), "pixel_sha",
+    )
+
+
 def _q_extract_triples(spark, sf):  # flagship, rows-only check
     from nous_spark.operators.extraction import extract_triples
 
@@ -747,6 +827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_topic_reader": _q_s12_topic_reader,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dd_embedding_pairs": _q_embedding_near_dups,
+        "s5_autodetect": _q_s5_autodetect,
+        "g9_sample_v1": _q_g9_sample_v1,
+        "g7_pic": _q_g7_pic,
+        "lp_bpr_metrics": _q_lp_bpr_metrics,
+        "mm_image_stats": _q_mm_image_stats,
     }
 
 
@@ -1208,6 +1293,57 @@ def oracle_sql() -> dict[str, str]:
                    FROM e JOIN r4 ON r4.id = e.f JOIN od ON od.f = e.f GROUP BY e.t) s
                  ON v.id = s.id)
             SELECT id, round(rank, 6) AS rank FROM r5
+        """,
+        "s5_autodetect": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/corpus.jsonl')),
+            j AS (SELECT line AS doc FROM raw WHERE length(line) > 0),
+            f AS (SELECT doc,
+                    CASE WHEN json_extract(doc, '$.open_graph') IS NOT NULL THEN 2
+                         WHEN json_extract(doc, '$.structured_data') IS NOT NULL THEN 1
+                         WHEN json_extract_string(doc, '$.mime_type') = 'text/html' THEN 0
+                         ELSE -1 END AS format
+                  FROM j)
+            SELECT
+              CASE WHEN format = 1 THEN coalesce(json_extract_string(doc,
+                     '$.structured_data.items[0].properties."http://ogp.me/ns#url"[0]'), '')
+                   WHEN format = 2 THEN coalesce(json_extract_string(doc,
+                     '$.open_graph."og:url"[0]'), '')
+                   ELSE coalesce(json_extract_string(doc, '$.url'), '') END AS url,
+              format,
+              CASE WHEN format = 1 THEN coalesce(json_extract_string(doc,
+                     '$.structured_data.items[0].properties."http://ogp.me/ns#title"[0]'), '')
+                   WHEN format = 2 THEN coalesce(json_extract_string(doc,
+                     '$.open_graph."og:title"[0]'), '')
+                   ELSE '' END AS title,
+              CASE WHEN format = 1 THEN coalesce(json_extract_string(doc,
+                     '$.structured_data.items[0].properties."http://ogp.me/ns#description"[0]'), '')
+                   WHEN format = 2 THEN coalesce(json_extract_string(doc,
+                     '$.open_graph."og:description"[0]'), '')
+                   WHEN format = 0 THEN coalesce(json_extract_string(doc, '$.text'), '')
+                   ELSE '' END AS content,
+              CASE WHEN format = 1 THEN coalesce(json_extract_string(doc,
+                     '$.structured_data.items[0].properties."article:published_time"[0]'), '')
+                   WHEN format = 2 THEN coalesce(json_extract_string(doc, '$.crawled_dt'), '')
+                   WHEN format = 0 THEN coalesce(json_extract_string(doc, '$.Date'),
+                        json_extract_string(doc, '$.http_headers.Date'), '')
+                   ELSE '' END AS ts
+            FROM f
+        """,
+        "g9_sample_v1": """
+            WITH e AS (SELECT l_suppkey::BIGINT AS src,
+                              (l_partkey + 10000)::BIGINT AS dst,
+                              'link' AS pred
+                       FROM lineitem),
+            deg AS (SELECT id, count(*)::DOUBLE AS score FROM (
+                      SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+                    GROUP BY id),
+            st AS (SELECT min(score) AS mn, max(score) AS mx FROM deg),
+            tails AS (SELECT id FROM deg, st
+                      WHERE score < mn + (mx - mn) / 100 * 10
+                         OR score > mx - (mx - mn) / 100 * 10)
+            SELECT src, dst, pred FROM e
+            WHERE src IN (SELECT id FROM tails) OR dst IN (SELECT id FROM tails)
         """,
         # rows-only (non-SQL-expressible): kg_extract_triples (NLP pipeline),
         # dd_minhash_pairs / dd_simhash_pairs / ann_lsh_topk /

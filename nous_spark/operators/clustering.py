@@ -1,0 +1,117 @@
+"""Power-iteration clustering (SURVEY.md §2.8 G7; reference
+Search/src/.../utils/OntologyClustering.scala:238-253 wraps MLlib's
+PowerIterationClustering over the type co-occurrence graph built at
+:261-279 — the A13 half already exists as type_cooccurrence).
+
+Lin & Cohen, "Power Iteration Clustering" (ICML 2010): embed vertices by a
+few power iterations of the row-normalized affinity matrix, then cluster
+the 1-D embedding with k-means. Spark-first: the matvec is the same
+join+agg round as ``pagerank`` (one shuffle per iteration, lineage
+truncated per round); k-means on the scalar embedding is a bounded driver
+loop over broadcast literal centroids — no MLlib dependency, no RDDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def power_iteration_clustering(
+    sim: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    kmeans_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    init: str | DataFrame = "random",
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster an undirected weighted similarity graph. Returns
+    (id, cluster, embedding).
+
+    sim(src, dst, weight) with weight > 0; edges are symmetrized (MLlib
+    PIC requires symmetric affinities). ``init``: "random" (default —
+    MLlib's default mode, here a seeded xxhash64-uniform so it is
+    deterministic and resume-stable; required to break symmetry between
+    mirror-image clusters), "degree" (v0 ∝ d_i, MLlib's "degree" mode), or
+    a DataFrame(id, v) of explicit start values. Each iteration computes
+    v ← (W v)_i / d_i and L1-normalizes; k-means centroids are initialized
+    at the k quantiles of the final embedding (deterministic).
+    """
+    e = (
+        sim.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).dropDuplicates(["a", "b"]).persist()
+
+    deg = e.groupBy("a").agg(F.sum("w").alias("d")).withColumnRenamed("a", "id")
+    if isinstance(init, DataFrame):
+        v = deg.join(init.select("id", "v"), "id")
+    elif init == "degree":
+        total = deg.agg(F.sum("d").alias("t")).collect()[0].t
+        v = deg.select("id", (F.col("d") / F.lit(total)).alias("v"))
+    else:  # "random": seeded hash-uniform per vertex, partition-independent
+        v = deg.select(
+            "id",
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 30)).cast("double")
+             / F.lit(float(1 << 30))).alias("v"),
+        )
+    norm0 = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
+    v = v.select("id", (F.col("v") / F.lit(norm0)).alias("v"))
+    v = v.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        wv = (
+            e.join(v.withColumnRenamed("id", "b"), "b")
+            .select("a", (F.col("w") * F.col("v")).alias("wv"))
+            .groupBy("a")
+            .agg(F.sum("wv").alias("num"))
+            .withColumnRenamed("a", "id")
+        )
+        nxt = deg.join(wv, "id", "left").select(
+            "id", (F.coalesce("num", F.lit(0.0)) / F.col("d")).alias("v")
+        )
+        norm = nxt.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
+        v = nxt.select("id", (F.col("v") / F.lit(norm)).alias("v")).localCheckpoint(
+            eager=True
+        )
+
+    # 1-D k-means on the embedding: quantile init, bounded Lloyd iterations
+    qs = [(i + 0.5) / k for i in range(k)]
+    centroids = v.approxQuantile("v", qs, 0.0001)
+    # collapse duplicate centroids (degenerate embeddings) deterministically
+    centroids = sorted(set(centroids))
+    while len(centroids) < k:
+        centroids.append(centroids[-1] + 1e-9 * (len(centroids) + 1))
+
+    for _ in range(kmeans_iter):
+        dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
+        assigned = v.withColumn(
+            "cluster", F.array_position(dists, F.array_min(dists)) - 1
+        )
+        means = {
+            r.cluster: r.m
+            for r in assigned.groupBy("cluster").agg(F.avg("v").alias("m")).collect()
+        }
+        new_centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
+    out = v.select(
+        "id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        F.col("v").alias("embedding"),
+    )
+    e.unpersist()
+    return out

@@ -1,0 +1,347 @@
+"""BPR link prediction (reference LinkPrediction/src/social_BPR.py:1-319;
+Zhang et al., "Trust from the past: BPR based link prediction in knowledge
+graphs", SDM-MNG 2016).
+
+The reference is single-node NumPy: one global P (user factors), Q (item
+factors), B (item bias) updated by sequential SGD over 100·nnz·50 uniform
+samples, with a social extension that ranks friend-purchased items between
+own purchases and negatives (social_BPR.py:208-218, 261-306).
+
+Spark-first redesign (parallel SGD with parameter averaging — Zinkevich et
+al., NIPS 2010):
+
+- interactions are a DataFrame (user, item); users are hash-blocked
+- P is partitioned BY USER (each user's row is touched only by its own
+  samples, so user blocks are independent given Q)
+- Q and B are broadcast per epoch; each block runs local NumPy SGD over
+  its users and emits its updated P rows plus its local Q/B deltas;
+  deltas are averaged across blocks on the driver (item-factor tables are
+  small relative to the interaction table — the standard recsys asymmetry)
+- all sampling is seeded per (block, epoch): training is deterministic
+  and resume-stable, which the reference's global Random is not
+- HR@N / ARHR / AUC (social_BPR.py:88-186) are computed per user inside
+  one applyInPandas pass (each user's ranking is independent) and reduced
+  with a plain aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_P_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType()),
+    T.StructField("factors", T.ArrayType(T.DoubleType())),
+])
+
+_UPD_SCHEMA = T.StructType([
+    T.StructField("kind", T.IntegerType()),   # 0 = P row, 1 = Q delta, 2 = B delta
+    T.StructField("idx", T.LongType()),       # user (kind 0) or item (kind 1/2)
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+])
+
+_METRIC_SCHEMA = T.StructType([
+    T.StructField("hr_count", T.LongType()),
+    T.StructField("rr_sum", T.DoubleType()),
+    T.StructField("auc_sum", T.DoubleType()),
+    T.StructField("active_test", T.LongType()),
+])
+
+
+def _init_factors(n: int, k: int, seed: int) -> np.ndarray:
+    """N(0, 0.1) init (social_BPR.py:221-257), deterministic."""
+    return np.random.default_rng(seed).normal(0.0, 0.1, size=(n, k))
+
+
+def _sgd_block(
+    pdf: pd.DataFrame, Q: np.ndarray, B: np.ndarray, n_items: int,
+    alpha: float, lamda: float, steps_per_user: int, seed: int,
+) -> pd.DataFrame:
+    """One epoch of local SGD for one user block. pdf rows:
+    (user, items, friend_items, factors)."""
+    Q = Q.copy()
+    B = B.copy()
+    Q0, B0 = Q.copy(), B.copy()
+    k = Q.shape[1]
+    users = pdf["user"].to_numpy()
+    rng = np.random.default_rng(seed + int(users.min()) if len(users) else seed)
+    P = {r.user: np.array(r.factors, dtype=np.float64) for r in pdf.itertuples()}
+    pur = {r.user: np.array(r.items, dtype=np.int64) for r in pdf.itertuples()}
+    fri = {
+        r.user: (np.array(r.friend_items, dtype=np.int64)
+                 if r.friend_items is not None else None)
+        for r in pdf.itertuples()
+    }
+    all_items = np.arange(n_items, dtype=np.int64)
+
+    def deriv(pu, i, j):
+        # d/dr of -ln σ(r_uij)  (social_BPR.py:189-196)
+        r = float(pu @ (Q[i] - Q[j]) + B[i] - B[j])
+        return 1.0 / (1.0 + np.exp(-r)) - 1.0
+
+    for _ in range(steps_per_user * max(len(users), 1)):
+        u = int(users[rng.integers(len(users))])
+        pu = P[u]
+        pos = pur[u]
+        i = int(pos[rng.integers(len(pos))])
+        unpur = np.setdiff1d(all_items, pos, assume_unique=False)
+        if len(unpur) == 0:
+            continue
+        f_items = fri[u]
+        did_social = False
+        if f_items is not None:
+            d1 = np.setdiff1d(f_items, pos)                  # friend-only items
+            d2 = np.setdiff1d(unpur, f_items)                # true negatives
+            if len(d1) and len(d2):
+                kk = int(d1[rng.integers(len(d1))])
+                j = int(d2[rng.integers(len(d2))])
+                # Social_BPR update (social_BPR.py:208-218)
+                g1 = deriv(pu, i, kk)
+                g2 = deriv(pu, kk, j)
+                P[u] = pu - alpha * (g1 * (Q[i] - Q[kk]) + g2 * (Q[kk] - Q[j])
+                                     + 2 * lamda * pu)
+                Q[i] -= alpha * (g1 * pu + 2 * lamda * Q[i])
+                Q[kk] -= alpha * (-g1 * pu + g2 * pu + 2 * lamda * Q[kk])
+                Q[j] -= alpha * (-g2 * pu + 2 * lamda * Q[j])
+                B[i] -= alpha * (g1 + 2 * lamda * B[i])
+                B[kk] -= alpha * (-g1 + g2 + 2 * lamda * B[kk])
+                B[j] -= alpha * (-g2 + 2 * lamda * B[j])
+                did_social = True
+        if not did_social:
+            j = int(unpur[rng.integers(len(unpur))])
+            # Original_BPR update (social_BPR.py:198-206)
+            g = deriv(pu, i, j)
+            P[u] = pu - alpha * (g * (Q[i] - Q[j]) + 2 * lamda * pu)
+            Q[i] -= alpha * (g * pu + 2 * lamda * Q[i])
+            Q[j] -= alpha * (-g * pu + 2 * lamda * Q[j])
+            B[i] -= alpha * (g + 2 * lamda * B[i])
+            B[j] -= alpha * (-g + 2 * lamda * B[j])
+
+    rows = [(0, int(u), P[u].tolist()) for u in users]
+    dq = Q - Q0
+    db = B - B0
+    touched = np.nonzero(np.abs(dq).sum(axis=1) + np.abs(db))[0]
+    rows += [(1, int(it), dq[it].tolist()) for it in touched]
+    rows += [(2, int(it), [float(db[it])]) for it in touched]
+    return pd.DataFrame(rows, columns=["kind", "idx", "vec"])
+
+
+def bpr_train(
+    spark: SparkSession,
+    train: DataFrame,
+    n_items: int,
+    social: DataFrame | None = None,
+    k: int = 16,
+    alpha: float = 0.02,
+    lamda: float = 0.005,
+    epochs: int = 5,
+    steps_per_user: int = 100,
+    n_blocks: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Train BPR. train(user, item) with item ids in [0, n_items);
+    social(user, friend) optional. Returns (P DataFrame(user, factors),
+    Q ndarray, B ndarray)."""
+    per_user = train.groupBy("user").agg(F.collect_set("item").alias("items"))
+
+    if social is not None:
+        # one deterministic friend per (user, epoch-independent) — the
+        # friend's purchased set rides along the user row
+        fr = social.select("user", "friend").dropDuplicates()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user").orderBy(F.xxhash64("friend", F.lit(seed)))
+        fr1 = fr.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        f_items = train.groupBy(F.col("user").alias("friend")).agg(
+            F.collect_set("item").alias("friend_items")
+        )
+        per_user = per_user.join(
+            fr1.select("user", "friend"), "user", "left"
+        ).join(f_items, "friend", "left").drop("friend")
+    else:
+        per_user = per_user.withColumn(
+            "friend_items", F.lit(None).cast("array<long>")
+        )
+
+    per_user = per_user.select(
+        F.col("user").cast("long"),
+        F.col("items").cast("array<long>"),
+        F.col("friend_items").cast("array<long>"),
+    ).persist()
+
+    # distributed, per-user-seeded init — no driver-side factor matrix
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def init_p(user: pd.Series) -> pd.Series:
+        return user.apply(
+            lambda u: np.random.default_rng(seed * 100003 + int(u))
+            .normal(0.0, 0.1, k)
+            .tolist()
+        )
+
+    P = per_user.select("user", init_p("user").alias("factors"))
+    Q = _init_factors(n_items, k, seed + 1)
+    B = _init_factors(n_items, 1, seed + 2)[:, 0]
+
+    for epoch in range(epochs):
+        joined = per_user.join(P, "user").withColumn(
+            "__block", F.pmod(F.xxhash64("user", F.lit(epoch)), F.lit(n_blocks))
+        )
+        Qb, Bb = Q, B
+        ep_seed = seed + 7919 * (epoch + 1)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _sgd_block(
+                pdf, Qb, Bb, n_items, alpha, lamda, steps_per_user, ep_seed
+            )
+
+        upd = joined.groupBy("__block").applyInPandas(run, _UPD_SCHEMA).persist()
+        P = upd.filter(F.col("kind") == 0).select(
+            F.col("idx").alias("user"), F.col("vec").alias("factors")
+        ).localCheckpoint(eager=True)
+        deltas = upd.filter(F.col("kind") >= 1).toPandas()
+        upd.unpersist()
+        # parameter averaging (Zinkevich et al.): Q_new = mean_b(Q_b) =
+        # Q + mean(deltas). Summing instead multiplies every shared item's
+        # step by n_blocks and oscillates (measured: AUC stalls at ~0.3)
+        Q = Q.copy()
+        B = B.copy()
+        for r in deltas.itertuples():
+            if r.kind == 1:
+                Q[r.idx] += np.array(r.vec) / n_blocks
+            else:
+                B[r.idx] += r.vec[0] / n_blocks
+    per_user.unpersist()
+    return P, Q, B
+
+
+def bpr_evaluate(
+    P: DataFrame, Q: np.ndarray, B: np.ndarray,
+    train: DataFrame, test: DataFrame, top_n: int = 10,
+) -> dict:
+    """HR@N, ARHR, AUC exactly per the reference's Evaluate
+    (social_BPR.py:88-186): rank a user's unpurchased items by
+    P_u·Q_i + B_i (ties broken by item id — the reference's Python-2 set
+    order is unreproducible); HR/ARHR over top-N against the test items;
+    AUC averages, per test item, the fraction of non-test unpurchased
+    items ranked below it."""
+    per_user = (
+        train.groupBy("user").agg(F.collect_set("item").alias("items"))
+        .join(
+            test.groupBy("user").agg(F.collect_set("item").alias("test_items")),
+            "user",
+            "left",
+        )
+        .join(P, "user")
+    )
+    num_test = test.count()
+    n_items = Q.shape[0]
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        hr, rr, auc, active = 0, 0.0, 0.0, 0
+        for r in pdf.itertuples():
+            pu = np.array(r.factors)
+            pur = set(int(x) for x in r.items)
+            tests = (
+                [int(x) for x in r.test_items] if r.test_items is not None else []
+            )
+            unpur = np.array(
+                [i for i in range(n_items) if i not in pur], dtype=np.int64
+            )
+            if len(unpur) == 0:
+                continue
+            scores = Q[unpur] @ pu + B[unpur]
+            order = np.lexsort((unpur, -scores))  # score desc, item asc
+            ranked = unpur[order].tolist()
+            rank_of = {it: i for i, it in enumerate(ranked)}
+            top = ranked[:top_n]
+            for t in tests:
+                if t in top:
+                    hr += 1
+                    rr += 1.0 / (top.index(t) + 1)
+            t_set = set(tests)
+            for t in tests:
+                if t not in rank_of:
+                    continue
+                active += 1
+                ahead = sum(
+                    1 for it in ranked[: rank_of[t]] if it not in t_set or it == t
+                )
+                comp_len = len(ranked) - len(t_set) + 1
+                if comp_len > 1:
+                    auc += float(comp_len - (ahead + 1)) / (comp_len - 1)
+        return pd.DataFrame(
+            [(hr, rr, auc, active)],
+            columns=["hr_count", "rr_sum", "auc_sum", "active_test"],
+        )
+
+    parts = per_user.groupBy(F.pmod(F.xxhash64("user"), F.lit(16))).applyInPandas(
+        lambda pdf: solve(pdf), _METRIC_SCHEMA
+    )
+    agg = parts.agg(
+        F.sum("hr_count").alias("hr"),
+        F.sum("rr_sum").alias("rr"),
+        F.sum("auc_sum").alias("auc"),
+        F.sum("active_test").alias("act"),
+    ).collect()[0]
+    return {
+        "HR": (agg.hr or 0) / max(num_test, 1),
+        "ARHR": (agg.rr or 0.0) / max(num_test, 1),
+        "AUC": (agg.auc or 0.0) / max(agg.act or 1, 1),
+    }
+
+
+def read_bpr_matlab(spark: SparkSession, path: str) -> tuple[dict, DataFrame]:
+    """Reader for the reference's Matlab-style interaction files
+    (social_BPR.py:20-56): line 1 = 'num_user num_item num_nnz'; line u+1 =
+    items of user u (1-based in the file, converted to 0-based here; empty
+    line = no items). Small config-like files — read driver-side, then
+    parallelized."""
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    nu, ni, nnz = (int(x) for x in lines[0].split())
+    rows = []
+    for u, line in enumerate(lines[1:]):
+        for tok in line.split():
+            rows.append((u, int(tok) - 1))
+    meta = {"num_user": nu, "num_item": ni, "num_nnz": nnz}
+    df = spark.createDataFrame(rows or [(0, 0)], ["user", "item"])
+    if not rows:
+        df = df.limit(0)
+    return meta, df
+
+
+def read_social_graph(
+    spark: SparkSession, graph_path: str, dict_path: str
+) -> DataFrame:
+    """Reader for the reference's subject-graph side information
+    (social_BPR.py:58-82): '<label>\\t<label>\\t[w]' edges + 'label index'
+    dictionary; returns symmetric (user, friend) with 0-based ids."""
+    idx = {}
+    with open(dict_path) as fh:
+        for line in fh:
+            parts = line.strip().split(" ")
+            if len(parts) >= 2:
+                idx[parts[0]] = int(parts[1]) - 1
+
+    def strip(s: str) -> str:
+        a, b = s.find("<"), s.rfind(">")
+        return s[a + 1:b].strip() if a >= 0 and b > a else s.strip()
+
+    rows = []
+    with open(graph_path) as fh:
+        for line in fh:
+            parts = line.strip().split("\t")
+            if len(parts) < 2:
+                continue
+            e1, e2 = idx.get(strip(parts[0])), idx.get(strip(parts[1]))
+            if e1 is None or e2 is None or e1 == e2:
+                continue
+            rows.append((e1, e2))
+            rows.append((e2, e1))
+    df = spark.createDataFrame(rows or [(0, 0)], ["user", "friend"])
+    if not rows:
+        df = df.limit(0)
+    return df.dropDuplicates()

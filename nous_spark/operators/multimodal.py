@@ -1,18 +1,21 @@
-"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
-with typed metadata.
+"""Multimodal columns: image/audio/video as opaque BINARY columns with
+typed metadata, decoded inside Arrow-batched mapInPandas.
 
-The decode/feature kernels are STUBS (image/audio libs are not in this
-container): ``decode_image_udf`` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives features from the
-bytes deterministically — the Spark-side plumbing (schemas, mapInPandas
-batch shape, partitioning) is real and tested either way.
+Image decode is REAL for PNG (all five filter types, 8-bit gray/RGB/RGBA,
+pure NumPy + stdlib zlib — no PIL in this container) and binary PPM (P6).
+Audio/video decoders remain stubs behind ``deterministic_fake`` (no codec
+libs here); their Spark-side plumbing (schemas, batch shape, frame-sample
+plan) is real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,6 +88,163 @@ def extract_features(
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → samples/pixel
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-NumPy PNG decode: 8-bit depth, color types 0/2/4/6, all five
+    scanline filters (spec: https://www.w3.org/TR/png-3/#9Filters).
+    Returns (H, W, C) uint8."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in _CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth} color={color})")
+            meta = (w, h, _CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("missing IHDR")
+    w, h, c = meta
+    raw = zlib.decompress(idat)
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        off = row * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1:off + 1 + stride], dtype=np.uint8).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    val = line[i] + a
+                elif ftype == 3:
+                    val = line[i] + (a + b) // 2
+                else:
+                    pc = int(prev[i - c]) if i >= c else 0
+                    p = a + b - pc
+                    pa, pb, pcc = abs(p - a), abs(p - b), abs(p - pc)
+                    pred = a if (pa <= pb and pa <= pcc) else (b if pb <= pcc else pc)
+                    val = line[i] + pred
+                cur[i] = val & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[row] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0) for fixtures/round-trip tests."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6), 8-bit. Returns (H, W, 3) uint8."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while data[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(data[pos:pos + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+_IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_intensity", T.DoubleType(), True),
+    T.StructField("pixel_sha", T.StringType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def decode_image_stats(media: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id") -> DataFrame:
+    """Real image decode over a BINARY column: PNG or PPM per payload magic,
+    emitting width/height/channels/mean intensity and a sha256 of the raw
+    pixel buffer (the lineage invariant carrier). Undecodable payloads get
+    decode_error instead of killing the job. Arrow-batched mapInPandas —
+    one Python roundtrip per batch, never per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                try:
+                    if data[:8] == _PNG_MAGIC:
+                        img = decode_png(data)
+                    elif data[:2] == b"P6":
+                        img = decode_ppm(data)
+                    else:
+                        raise ValueError("unknown image format")
+                    rows.append((
+                        int(mid), img.shape[1], img.shape[0], img.shape[2],
+                        float(img.mean()),
+                        hashlib.sha256(img.tobytes()).hexdigest(),
+                        None,
+                    ))
+                except Exception as exc:  # decode failures are data, not crashes
+                    rows.append((int(mid), None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=_IMAGE_STATS_SCHEMA)
+
+
+def resize_image_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize kernel (NumPy index arithmetic)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

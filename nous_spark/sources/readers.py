@@ -97,6 +97,81 @@ def read_web_crawl_json(spark: SparkSession, df_or_path, text_field: str = "text
     )
 
 
+def detect_and_parse_json(spark: SparkSession, df_or_path,
+                          text_field: str = "text") -> DataFrame:
+    """S5 (Plugins.scala:34-96): per-document JSON format auto-detection +
+    format-specific field extraction, fully declarative (one from_json with
+    a permissive superset schema, then when-chains — no per-row Python).
+
+    Formats (autoDetectFormat, :34-53):
+      1 = OpenGraph "structured_data"   → items[0].properties og:* keys
+      2 = OpenGraph "open_graph"        → og:title/og:description/crawled_dt
+      0 = plain "text/html"             → text + Date (or http_headers.Date)
+     -1 = unsupported
+
+    Returns (url, format, title, content, ts)."""
+    if isinstance(df_or_path, str):
+        df = spark.read.text(df_or_path).withColumnRenamed("value", "raw")
+    else:
+        df = df_or_path
+    props_t = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+    schema = T.StructType([
+        T.StructField(text_field, T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("Date", T.StringType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("crawled_dt", T.StringType()),
+        T.StructField("http_headers", T.StructType([
+            T.StructField("Date", T.StringType()),
+        ])),
+        T.StructField("open_graph", props_t),
+        T.StructField("structured_data", T.StructType([
+            T.StructField("items", T.ArrayType(T.StructType([
+                T.StructField("properties", props_t),
+            ]))),
+        ])),
+    ])
+    j = df.select(F.from_json("raw", schema).alias("j")).select("j.*")
+
+    fmt = (
+        F.when(F.col("open_graph").isNotNull(), F.lit(2))
+        .when(F.col("structured_data").isNotNull(), F.lit(1))
+        .when(F.col("mime_type") == "text/html", F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+
+    def prop(key):
+        return F.coalesce(
+            F.element_at(
+                F.col("structured_data.items")[0]["properties"], key
+            )[0],
+            F.lit(""),
+        )
+
+    def og(key):
+        return F.coalesce(F.element_at(F.col("open_graph"), key)[0], F.lit(""))
+
+    out = j.withColumn("format", fmt).select(
+        F.when(F.col("format") == 1, prop(F.lit("http://ogp.me/ns#url")))
+        .when(F.col("format") == 2, og(F.lit("og:url")))
+        .otherwise(F.coalesce("url", F.lit(""))).alias("url"),
+        "format",
+        F.when(F.col("format") == 1, prop(F.lit("http://ogp.me/ns#title")))
+        .when(F.col("format") == 2, og(F.lit("og:title")))
+        .otherwise(F.lit("")).alias("title"),
+        F.when(F.col("format") == 1, prop(F.lit("http://ogp.me/ns#description")))
+        .when(F.col("format") == 2, og(F.lit("og:description")))
+        .when(F.col("format") == 0, F.coalesce(text_field, F.lit("")))
+        .otherwise(F.lit("")).alias("content"),
+        F.when(F.col("format") == 1, prop(F.lit("article:published_time")))
+        .when(F.col("format") == 2, F.coalesce("crawled_dt", F.lit("")))
+        .when(F.col("format") == 0,
+              F.coalesce("Date", F.col("http_headers.Date"), F.lit("")))
+        .otherwise(F.lit("")).alias("ts"),
+    )
+    return out
+
+
 def read_topic_matrix(spark: SparkSession, path: str) -> DataFrame:
     """S12 (DataReader.getTopics, DataReader.scala:39-47):
     'vid \\t v1,v2,...' → (vid, topic ARRAY<DOUBLE>)."""

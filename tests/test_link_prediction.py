@@ -1,0 +1,109 @@
+"""BPR link prediction: metric-threshold tests on synthetic preference
+data + the reference's own example files (social_BPR.py, examples/)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.link_prediction import (
+    bpr_evaluate,
+    bpr_train,
+    read_bpr_matlab,
+    read_social_graph,
+)
+
+REF_EXAMPLES = "/root/reference/LinkPrediction/examples"
+
+
+@pytest.fixture(scope="module")
+def block_data(spark):
+    """Two user groups with disjoint preferred item blocks: group A users
+    buy items 0-9, group B users buy 10-19. Hold out 2 items per user."""
+    train_rows, test_rows = [], []
+    for u in range(30):
+        block = range(0, 10) if u < 15 else range(10, 20)
+        items = [(u * 7 + j) % 10 + (0 if u < 15 else 10) for j in range(8)]
+        items = sorted(set(items))
+        held = items[-2:]
+        for it in items[:-2]:
+            train_rows.append((u, it))
+        for it in held:
+            test_rows.append((u, it))
+    train = spark.createDataFrame(train_rows, ["user", "item"])
+    test = spark.createDataFrame(test_rows, ["user", "item"])
+    return train, test
+
+
+def test_bpr_learns_block_structure(spark, block_data):
+    train, test = block_data
+    P0, Q0, B0 = bpr_train(spark, train, n_items=20, epochs=0, k=8, seed=5)
+    m0 = bpr_evaluate(P0, Q0, B0, train, test, top_n=5)
+    P, Q, B = bpr_train(
+        spark, train, n_items=20, epochs=8, steps_per_user=150, k=8,
+        n_blocks=4, seed=5,
+    )
+    m = bpr_evaluate(P, Q, B, train, test, top_n=5)
+    # untrained ranking is bias-dominated noise; trained must rank the
+    # held-out block items far above random
+    assert m["AUC"] > 0.75, f"AUC {m['AUC']} (init {m0['AUC']})"
+    assert m["AUC"] > m0["AUC"] + 0.2
+    assert m["HR"] > 0.5
+
+
+def test_bpr_social_update_runs(spark, block_data):
+    train, test = block_data
+    # friends within the same group: social updates must not hurt AUC
+    social = spark.createDataFrame(
+        [(u, (u + 1) % 15) for u in range(15)]
+        + [(u, 15 + (u - 15 + 1) % 15) for u in range(15, 30)],
+        ["user", "friend"],
+    )
+    P, Q, B = bpr_train(
+        spark, train, n_items=20, social=social, epochs=8,
+        steps_per_user=150, k=8, n_blocks=4, seed=5,
+    )
+    m = bpr_evaluate(P, Q, B, train, test, top_n=5)
+    assert m["AUC"] > 0.75
+
+
+def test_bpr_deterministic(spark, block_data):
+    train, _ = block_data
+    P1, Q1, B1 = bpr_train(spark, train, n_items=20, epochs=1,
+                           steps_per_user=20, k=4, seed=9)
+    P2, Q2, B2 = bpr_train(spark, train, n_items=20, epochs=1,
+                           steps_per_user=20, k=4, seed=9)
+    assert (Q1 == Q2).all() and (B1 == B2).all()
+    f1 = {r.user: tuple(r.factors) for r in P1.collect()}
+    f2 = {r.user: tuple(r.factors) for r in P2.collect()}
+    assert f1 == f2
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_EXAMPLES}/train.txt"),
+    reason="reference examples not available",
+)
+def test_bpr_reference_examples(spark):
+    """Parity-of-capability on the reference's own example dataset
+    (131 users / 124 items, dealsWith social graph): trained AUC must be
+    far above random and above the untrained baseline."""
+    meta, train = read_bpr_matlab(spark, f"{REF_EXAMPLES}/train.txt")
+    _, test = read_bpr_matlab(spark, f"{REF_EXAMPLES}/test.txt")
+    social = read_social_graph(
+        spark,
+        f"{REF_EXAMPLES}/graph_dealsWith.txt",
+        f"{REF_EXAMPLES}/subj_entity.txt",
+    )
+    assert meta["num_user"] == 131 and meta["num_item"] == 124
+    P0, Q0, B0 = bpr_train(spark, train, meta["num_item"], epochs=0, k=16, seed=1)
+    m0 = bpr_evaluate(P0, Q0, B0, train, test, top_n=10)
+    P, Q, B = bpr_train(
+        spark, train, meta["num_item"], social=social, epochs=5,
+        steps_per_user=200, k=16, n_blocks=4, seed=1,
+    )
+    m = bpr_evaluate(P, Q, B, train, test, top_n=10)
+    assert m["AUC"] > 0.65, f"AUC {m['AUC']} vs init {m0['AUC']}"
+    assert m["AUC"] > m0["AUC"]
+    assert m["HR"] >= m0["HR"]

@@ -1,0 +1,123 @@
+"""Real PNG/PPM decode (multimodal) + S5 JSON format auto-detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.multimodal import (
+    decode_image_stats,
+    decode_png,
+    decode_ppm,
+    encode_png,
+    resize_image_nearest,
+)
+from nous_spark.sources.readers import detect_and_parse_json
+
+FIXTURES = "/root/repo/fixtures/readers"
+
+
+def _img(h, w, c, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_colortypes():
+    for c in (1, 2, 3, 4):
+        img = _img(13, 17, c, seed=c)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_filters_decoded():
+    """Hand-build a PNG whose rows use filters 1 (Sub), 2 (Up), 3 (Avg),
+    4 (Paeth) and check against the spec reconstruction."""
+    import struct
+    import zlib
+
+    w, h, c = 6, 4, 3
+    img = _img(h, w, c, seed=99)
+    # encode each row with a different filter per the PNG spec
+    raws = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for row, ftype in zip(range(h), (1, 2, 3, 4)):
+        cur = img[row].reshape(-1).astype(np.int32)
+        enc = np.zeros(w * c, dtype=np.int32)
+        for i in range(w * c):
+            a = cur[i - c] if i >= c else 0
+            b = prev[i]
+            pc = prev[i - c] if i >= c else 0
+            if ftype == 1:
+                enc[i] = cur[i] - a
+            elif ftype == 2:
+                enc[i] = cur[i] - b
+            elif ftype == 3:
+                enc[i] = cur[i] - (a + b) // 2
+            else:
+                p = a + b - pc
+                pa, pb, pcc = abs(p - a), abs(p - b), abs(p - pc)
+                pred = a if (pa <= pb and pa <= pcc) else (b if pb <= pcc else pc)
+                enc[i] = cur[i] - pred
+        raws.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+            + chunk(b"IEND", b""))
+    assert (decode_png(data) == img).all()
+
+
+def test_ppm_decode():
+    img = _img(5, 7, 3, seed=3)
+    data = b"P6\n# comment\n7 5\n255\n" + img.tobytes()
+    assert (decode_ppm(data) == img).all()
+
+
+def test_resize_nearest():
+    img = _img(8, 8, 3, seed=4)
+    out = resize_image_nearest(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert (out[0, 0] == img[0, 0]).all()
+
+
+def test_decode_image_stats_spark(spark):
+    imgs = {i: _img(6 + i, 9 + i, 3, seed=i) for i in range(4)}
+    rows = [(i, bytearray(encode_png(imgs[i]))) for i in range(3)]
+    rows.append((3, bytearray(b"P6\n" + f"{9+3} {6+3}\n255\n".encode()
+                              + imgs[3].tobytes())))
+    rows.append((4, bytearray(b"garbage-not-an-image")))
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r.media_id: r for r in decode_image_stats(media).collect()}
+    for i in range(4):
+        assert got[i].width == 9 + i and got[i].height == 6 + i
+        assert got[i].channels == 3
+        assert abs(got[i].mean_intensity - float(imgs[i].mean())) < 1e-9
+        assert got[i].decode_error is None
+    assert got[4].decode_error is not None and got[4].width is None
+
+
+def test_s5_autodetect_formats(spark):
+    out = detect_and_parse_json(spark, f"{FIXTURES}/corpus.jsonl").collect()
+    by_url = {r.url: r for r in out}
+    t0 = by_url["http://ex.org/t0"]
+    assert t0.format == 0 and "Paris" in t0.content and t0.ts == "2019-01-01"
+    sd = by_url["http://ex.org/sd1"]
+    assert sd.format == 1 and sd.title == "Title 1" and "Berlin" in sd.content
+    assert sd.ts == "2019-02-02"
+    og = by_url["http://ex.org/og2"]
+    assert og.format == 2 and og.title == "OG Title 2" and og.ts == "2019-03-03"
+    hh = by_url["http://ex.org/h3"]
+    assert hh.format == 0 and hh.ts == "2019-04-04"  # http_headers fallback
+    xx = by_url["http://ex.org/x7"]
+    assert xx.format == -1 and xx.content == ""
+
+
+def test_s5_no_python_udf(spark):
+    plan = detect_and_parse_json(
+        spark, f"{FIXTURES}/corpus.jsonl"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
