@@ -138,6 +138,62 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    kmeans_iter: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means refine for IVF centroids: seeded random init, then
+    ``kmeans_iter`` bounded Lloyd rounds — assignment is a JVM-side argmax
+    over literal centroids, the new means are one aggregation (posexplode +
+    groupBy), so each round is a single pass regardless of table size."""
+    rng = random.Random(seed)
+    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
+
+    def normalize(cs):
+        out = []
+        for c in cs:
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            out.append([x / n for x in c])
+        return out
+
+    cents = normalize(cents)
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(kmeans_iter):
+        def cell_of(col):
+            scores = F.array(*[
+                F.aggregate(
+                    F.zip_with(col, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                for c in cents
+            ])
+            return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+        assigned = v.withColumn("cell", cell_of(F.col("v")))
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(r.cell, [0.0] * dim)[r.pos] = r.s / r.n
+        for cell, mean in acc.items():
+            new[cell] = mean
+        new = normalize(new)
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -146,17 +202,23 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF-flat: seeded random centroids (deterministic — a k-means refine
-    is a bounded driver loop left as a config knob), vectors assigned to
+    """IVF-flat: k-means-refined centroids (``ivf_train_centroids``; pass
+    kmeans_iter=0 for the old seeded-random cells), vectors assigned to
     nearest cell, queries probe the ``n_probe`` nearest cells."""
-    rng = random.Random(seed)
-    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
-    norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
-    cents = [[x / n for x in c] for c, n in zip(cents, norms)]
+    if kmeans_iter > 0:
+        cents = ivf_train_centroids(
+            vectors, dim, n_cells, kmeans_iter, seed, vec_col
+        )
+    else:
+        rng = random.Random(seed)
+        cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
+        norms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+        cents = [[x / n for x in c] for c, n in zip(cents, norms)]
 
     def cell_scores(col):
         v = col.cast("array<double>")

@@ -373,6 +373,20 @@ def _solve_doc(pdf: pd.DataFrame, lam: float, phrase_threshold: float,
     n_m = len(mentions)
     evid = dict(zip(pdf["mention"], pdf["evidence_wt"]))
 
+    # neighborhood labels repeat massively across candidates of one doc —
+    # memoize the (label, mention) decision instead of re-running the
+    # Levenshtein merge per candidate
+    _sim_cache: dict[tuple[str, str], bool] = {}
+
+    def _matches(nl: str, cm: str) -> bool:
+        key = (nl, cm)
+        hit = _sim_cache.get(key)
+        if hit is None:
+            hit = string_sim(nl, cm, phrase_threshold,
+                             decision_only=True) > phrase_threshold
+            _sim_cache[key] = hit
+        return hit
+
     # candidate set per mention; neighborhood per entity
     ent_info: dict[int, tuple[str, list[str]]] = {}
     cand: dict[str, list[tuple[int, float]]] = {m: [] for m in mentions}
@@ -390,9 +404,7 @@ def _solve_doc(pdf: pd.DataFrame, lam: float, phrase_threshold: float,
             nbrs = ent_info[eid][1]
             common = 0
             for cm in ctx:
-                if any(string_sim(nl, cm, phrase_threshold,
-                                  decision_only=True) > phrase_threshold
-                       for nl in nbrs):
+                if any(_matches(nl, cm) for nl in nbrs):
                     common += 1
             denom = max(len(ctx) * len(nbrs), 1)
             sim = 2.0 * common / denom
@@ -472,6 +484,7 @@ def link_entities(
     mention_entity_threshold: float = 0.0,
     lam: float = 0.00001,
     candidate_types: list[str] | None = None,
+    max_candidates_per_mention: int | None = 50,
 ) -> DataFrame:
     """Full collective linking: returns (doc_id, mention, entity_id,
     entity_label, score). Unmatched mentions become 'nous: <mention>'
@@ -521,6 +534,22 @@ def link_entities(
     n_vertices = verts.count()
 
     cands = candidate_pairs(mentions, ents, phrase_match_threshold)
+    if max_candidates_per_mention is not None:
+        # per-mention top-C by name similarity (entity_id tiebreak) — the
+        # reference's edgeLimit analog: bounds the per-doc solve at
+        # O(mentions · C) on hub names ("connect", "utils") that would
+        # otherwise match thousands of entities. Windowed per mention,
+        # never global.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id", "mention").orderBy(
+            F.col("name_sim").desc(), F.col("entity_id")
+        )
+        cands = (
+            cands.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_candidates_per_mention)
+            .drop("__rk")
+        )
     nbrs = candidate_neighborhoods(edges, verts, cands)
     scored_input = (
         cands.join(nbrs, "entity_id", "left")

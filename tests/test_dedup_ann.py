@@ -96,3 +96,38 @@ def test_ivf_topk_runs(spark, sf_dir):
     out = ivf_topk(emb, q, dim=64, k=5, n_cells=8, n_probe=4).collect()
     assert len(out) == 5
     assert out[0].vec_id == 7 or any(r.vec_id == 7 for r in out)
+
+
+def test_ivf_kmeans_refine_recall(spark, sf_dir):
+    """On clustered data, k-means-refined IVF must reach high recall vs
+    brute force (random centroids can split true clusters); the training
+    must be deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 1, (4, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        v = c + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, dim=16, k=10, n_cells=4, n_probe=1,
+                          kmeans_iter=5).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+    # determinism of the trainer
+    from nous_spark.operators.ann import ivf_train_centroids
+
+    c1 = ivf_train_centroids(emb, 16, n_cells=4, kmeans_iter=3)
+    c2 = ivf_train_centroids(emb, 16, n_cells=4, kmeans_iter=3)
+    assert c1 == c2
