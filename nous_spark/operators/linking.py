@@ -5,9 +5,12 @@ Set-based re-design of the reference's per-document driver loop:
 
   1. alias dictionary (J1)           — one aggregation over KG edges
   2. candidate generation (J2)       — token-blocked equi-join + exact
-                                       StringSim on survivors (the reference
-                                       scores every vertex against every
-                                       mention; ours is blocked — the
+                                       StringSim on survivors, computed on
+                                       the DISTINCT mention-string domain
+                                       and fanned back to docs (the
+                                       reference scores every vertex
+                                       against every mention per doc; ours
+                                       is blocked and dedup-verified — the
                                        north-rule "LSH-blocked candidate
                                        generation")
   3. neighborhood features (J3)      — one aggregation join for ALL
@@ -87,6 +90,7 @@ def candidate_pairs(
     phrase_match_threshold: float = 0.7,
     max_candidates_per_token: int = 2000,
     sim_mode: str = "stringsim",
+    max_candidates_per_mention: int | None = None,
 ) -> DataFrame:
     """J2: token-blocked candidate generation + exact StringSim verify.
 
@@ -94,20 +98,28 @@ def candidate_pairs(
     → (doc_id, mention, entity_id, entity_label, name_sim).
 
     Blocking: both sides explode lowercase name tokens; equi-join on token.
-    Skew guard: tokens blocking to more than ``max_candidates_per_token``
-    entities (stopword-ish hub tokens, e.g. 'the', ubiquitous imports) are
-    dropped — same role as the reference's edgeLimit, but lossless for any
-    mention whose other tokens still block (reference instead does a full
-    V×M cross product: NodeProp.scala:25-78).
+    Skew guard: a token blocking to more than ``max_candidates_per_token``
+    entities (ubiquitous identifiers — every repo defines `connect`) keeps
+    a deterministic hash-sample of ~cap entities instead of being dropped:
+    single-token hub mentions still get candidates (dropping the token
+    starves them entirely — measured at 10k files: 0 candidates), and the
+    join stays skew-bounded. Same role as the reference's edgeLimit
+    (reference instead does a full V×M cross product, NodeProp.scala:25-78).
 
     ``sim_mode``: "stringsim" (default) verifies with the full reference
     StringSim (Dice + merge alignment) in an Arrow-batched pandas UDF;
     "dice" verifies with the Dice stage only, entirely JVM-side — the fast
     path when labels are multi-word and the alignment stage rarely decides
     (also the DuckDB-oracle-gated mode).
+
+    name_sim depends only on the (mention STRING, entity) pair, never on
+    doc_id — blocking and verification run on the distinct-mention domain
+    and doc_ids are joined back at the end. On a 10k-file corpus this cut
+    28M per-doc verifications to ~60k distinct-pair ones.
     """
-    m_tok = mentions.select(
-        "doc_id", "mention",
+    m_distinct = mentions.select("mention").distinct()
+    m_tok = m_distinct.select(
+        "mention",
         F.explode(
             F.array_distinct(F.split(F.lower(F.col("mention")), _TOKEN_SPLIT))
         ).alias("token"),
@@ -130,18 +142,28 @@ def candidate_pairs(
         )
         .filter(F.length("token") > 0)
     )
-    # drop hub tokens (declarative skew guard)
+    # skew guard: hash-downsample hub tokens to ~cap entities (no window —
+    # a per-token row_number would single-task the hottest token)
     tok_counts = e_tok.groupBy("token").agg(F.count("*").alias("tc"))
-    e_tok = e_tok.join(
-        F.broadcast(tok_counts.filter(F.col("tc") <= max_candidates_per_token)),
-        "token",
-        "left_semi",
+    e_tok = (
+        e_tok.join(tok_counts, "token")
+        .filter(
+            (F.col("tc") <= max_candidates_per_token)
+            | (
+                F.pmod(
+                    F.xxhash64("entity_id", "token"),
+                    F.ceil(F.col("tc") / F.lit(max_candidates_per_token)).cast("long"),
+                )
+                == 0
+            )
+        )
+        .drop("tc")
     )
 
     blocked = (
         m_tok.join(e_tok, "token")
-        .select("doc_id", "mention", "entity_id", "entity_label", "names")
-        .dropDuplicates(["doc_id", "mention", "entity_id"])
+        .select("mention", "entity_id", "entity_label", "names")
+        .dropDuplicates(["mention", "entity_id"])
     )
 
     if sim_mode == "dice":
@@ -153,31 +175,54 @@ def candidate_pairs(
                 "names", lambda nm: dice_sim_col(m_words, split_words_col(nm))
             )
         )
-        return (
+        verified = (
             blocked.withColumn("name_sim", F.round(sim, 6))
             .filter(F.col("name_sim") >= phrase_match_threshold)
             .drop("names")
         )
+    else:
 
-    @F.pandas_udf(T.DoubleType())
-    def best_name_sim(mention: pd.Series, names: pd.Series) -> pd.Series:
-        from nous_spark.functions.similarity import string_sim
+        @F.pandas_udf(T.DoubleType())
+        def best_name_sim(mention: pd.Series, names: pd.Series) -> pd.Series:
+            from nous_spark.functions.similarity import string_sim
 
-        out = []
-        for m, ns in zip(mention, names):
-            best = 0.0
-            for n in ns if ns is not None else []:
-                s = string_sim(m, n, phrase_match_threshold, decision_only=True)
-                if s > best:
-                    best = s
-            out.append(best)
-        return pd.Series(out)
+            out = []
+            for m, ns in zip(mention, names):
+                best = 0.0
+                for n in ns if ns is not None else []:
+                    s = string_sim(m, n, phrase_match_threshold,
+                                   decision_only=True)
+                    if s > best:
+                        best = s
+                out.append(best)
+            return pd.Series(out)
 
-    return (
-        blocked.withColumn("name_sim", best_name_sim("mention", "names"))
-        .filter(F.col("name_sim") >= phrase_match_threshold)
-        .drop("names")
-    )
+        verified = (
+            blocked.withColumn("name_sim", best_name_sim("mention", "names"))
+            .filter(F.col("name_sim") >= phrase_match_threshold)
+            .drop("names")
+        )
+
+    if max_candidates_per_mention is not None:
+        # top-C per mention STRING (the reference's edgeLimit analog),
+        # applied on the distinct domain BEFORE the doc fan-out so the
+        # window never shuffles doc-multiplied rows; partitioned per
+        # mention, never global
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("mention").orderBy(
+            F.col("name_sim").desc(), F.col("entity_id")
+        )
+        verified = (
+            verified.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_candidates_per_mention)
+            .drop("__rk")
+        )
+
+    # fan the per-mention-string verdicts back out to (doc_id, mention)
+    return mentions.select("doc_id", "mention").dropDuplicates().join(
+        verified, "mention"
+    ).select("doc_id", "mention", "entity_id", "entity_label", "name_sim")
 
 
 def best_prefix_match(targets: DataFrame, labels: DataFrame,
@@ -533,23 +578,13 @@ def link_entities(
     verts = kg_vertices(kg_triples)
     n_vertices = verts.count()
 
-    cands = candidate_pairs(mentions, ents, phrase_match_threshold)
-    if max_candidates_per_mention is not None:
-        # per-mention top-C by name similarity (entity_id tiebreak) — the
-        # reference's edgeLimit analog: bounds the per-doc solve at
-        # O(mentions · C) on hub names ("connect", "utils") that would
-        # otherwise match thousands of entities. Windowed per mention,
-        # never global.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("doc_id", "mention").orderBy(
-            F.col("name_sim").desc(), F.col("entity_id")
-        )
-        cands = (
-            cands.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= max_candidates_per_mention)
-            .drop("__rk")
-        )
+    # max_candidates_per_mention bounds the per-doc solve at O(mentions·C)
+    # on hub names ("connect", "utils") that would otherwise match
+    # thousands of entities; applied pre-fan-out inside candidate_pairs
+    cands = candidate_pairs(
+        mentions, ents, phrase_match_threshold,
+        max_candidates_per_mention=max_candidates_per_mention,
+    )
     nbrs = candidate_neighborhoods(edges, verts, cands)
     scored_input = (
         cands.join(nbrs, "entity_id", "left")

@@ -92,3 +92,34 @@ def test_linking_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_dictionary_encode_no_global_window(spark, sf_dir):
+    """J10: dense-id assignment must not funnel the dictionary through a
+    single-partition Window (VERDICT r1 #2). The physical plan's window
+    spec must carry a partitionBy — a global Window.orderBy shows up as
+    'Window [...], [label ASC...]' with no partition expressions."""
+    from nous_spark.operators.graph import dictionary_encode
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_name")
+    _, dictionary = dictionary_encode(n, ["n_name"])
+    plan = dictionary._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            # format: Window [exprs], [partition exprs], [order exprs]
+            assert "__pid" in line, f"global window in encode plan: {line}"
+
+
+def test_connected_components_log_rounds(spark):
+    """G8: a 300-edge chain must resolve within max_iter=12 rounds
+    (⌈log2 301⌉ = 9 < 12) — plain hash-to-min would need 300 rounds, so
+    correctness under this cap proves the pointer-jumping acceleration."""
+    from nous_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["src", "dst"]
+    )
+    comp = {r.id: r.component for r in
+            connected_components(edges, max_iter=12).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 301
