@@ -1330,6 +1330,30 @@ def oracle_sql() -> dict[str, str]:
                    ELSE '' END AS ts
             FROM f
         """,
+        "a1_mis_exact": """
+            WITH quads AS (
+              SELECT o_custkey::BIGINT AS src, (o_orderkey % 3 + 1)::BIGINT AS pred,
+                     (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+              UNION ALL
+              SELECT o_custkey::BIGINT, 0, (o_custkey % 5)::BIGINT FROM orders
+              UNION ALL
+              SELECT (o_orderkey + 1000000)::BIGINT, 0, 99 FROM orders),
+            vt AS (SELECT src AS id, min(dst) AS vtype FROM quads
+                   WHERE pred = 0 GROUP BY src),
+            typed AS (SELECT q.src, q.pred, q.dst, ts.vtype AS src_t, td.vtype AS dst_t
+                      FROM quads q JOIN vt ts ON q.src = ts.id
+                                   JOIN vt td ON q.dst = td.id
+                      WHERE q.pred != 0),
+            pats AS (SELECT '(' || src_t::VARCHAR || ',' || pred::VARCHAR || ','
+                            || dst_t::VARCHAR || ')' AS pat_str,
+                            src_t, dst_t, src, dst
+                     FROM typed),
+            melted AS (SELECT DISTINCT pat_str, t, n FROM (
+                   SELECT pat_str, src_t AS t, src AS n FROM pats
+                   UNION ALL SELECT pat_str, dst_t, dst FROM pats)),
+            per_type AS (SELECT pat_str, t, count(*) AS cnt FROM melted GROUP BY 1, 2)
+            SELECT pat_str, min(cnt)::BIGINT AS support FROM per_type GROUP BY pat_str
+        """,
         "g9_sample_v1": """
             WITH e AS (SELECT l_suppkey::BIGINT AS src,
                               (l_partkey + 10000)::BIGINT AS dst,

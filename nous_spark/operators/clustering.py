@@ -65,10 +65,12 @@ def power_iteration_clustering(
             (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 30)).cast("double")
              / F.lit(float(1 << 30))).alias("v"),
         )
-    norm0 = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
-    v = v.select("id", (F.col("v") / F.lit(norm0)).alias("v"))
     v = v.localCheckpoint(eager=True)
 
+    # v ← (W v)_i / d_i is an average of neighbor values (row sums of
+    # D⁻¹W are 1), so iterates stay bounded and the direction is all that
+    # matters — normalize ONCE after the loop instead of paying a
+    # collect-the-norm job every iteration (halves the job count)
     for _ in range(max_iter):
         wv = (
             e.join(v.withColumnRenamed("id", "b"), "b")
@@ -77,13 +79,14 @@ def power_iteration_clustering(
             .agg(F.sum("wv").alias("num"))
             .withColumnRenamed("a", "id")
         )
-        nxt = deg.join(wv, "id", "left").select(
+        v = deg.join(wv, "id", "left").select(
             "id", (F.coalesce("num", F.lit(0.0)) / F.col("d")).alias("v")
-        )
-        norm = nxt.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
-        v = nxt.select("id", (F.col("v") / F.lit(norm)).alias("v")).localCheckpoint(
-            eager=True
-        )
+        ).localCheckpoint(eager=True)
+
+    norm = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
+    v = v.select("id", (F.col("v") / F.lit(norm)).alias("v")).localCheckpoint(
+        eager=True
+    )
 
     # 1-D k-means on the embedding: quantile init, bounded Lloyd iterations
     qs = [(i + 0.5) / k for i in range(k)]

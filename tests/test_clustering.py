@@ -18,10 +18,9 @@ def _numpy_pic(edges, n, k, v0, max_iter=10):
         W[b, a] = w
     d = W.sum(axis=1)
     v = np.array(v0, dtype=np.float64)
-    v = v / np.abs(v).sum()
     for _ in range(max_iter):
         v = (W @ v) / np.where(d > 0, d, 1.0)
-        v = v / np.abs(v).sum()
+    v = v / np.abs(v).sum()
     order = np.sort(v)
     cents = [order[int((i + 0.5) / k * (n - 1))] for i in range(k)]
     cents = sorted(set(cents))
