@@ -761,6 +761,38 @@ def _q_mm_image_stats(spark, sf):  # multimodal: real PNG decode (rows-only)
     )
 
 
+def _q_str_stateful_window(spark, sf):  # applyInPandasWithState window state
+    import tempfile
+
+    from nous_spark.streaming.structured import stateful_window_support
+
+    e = _read(spark, sf, "events")
+    per_batch = e.groupBy(
+        F.col("event_type").alias("pattern_key"),
+        F.unix_date(F.to_date("ts")).cast("long").alias("batch_id"),
+    ).agg(F.count("*").alias("support"))
+    src = tempfile.mkdtemp(prefix="wsup_src_")
+    per_batch.write.mode("overwrite").parquet(src)
+
+    name = "gate_wsup"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = spark.readStream.schema(
+        "pattern_key STRING, batch_id LONG, support LONG"
+    ).parquet(src)
+    q = (
+        stateful_window_support(stream, window_batches=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select("pattern_key", "upto_batch", "window_support")
+
+
 def _q_extract_triples(spark, sf):  # flagship, rows-only check
     from nous_spark.operators.extraction import extract_triples
 
@@ -832,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_pic": _q_g7_pic,
         "lp_bpr_metrics": _q_lp_bpr_metrics,
         "mm_image_stats": _q_mm_image_stats,
+        "str_stateful_window": _q_str_stateful_window,
     }
 
 
@@ -1329,6 +1362,18 @@ def oracle_sql() -> dict[str, str]:
                         json_extract_string(doc, '$.http_headers.Date'), '')
                    ELSE '' END AS ts
             FROM f
+        """,
+        "str_stateful_window": """
+            WITH pb AS (SELECT event_type AS pattern_key,
+                               date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS batch_id,
+                               count(*)::BIGINT AS support
+                        FROM events GROUP BY 1, 2),
+            hi AS (SELECT pattern_key, max(batch_id) AS upto_batch FROM pb GROUP BY 1)
+            SELECT p.pattern_key, h.upto_batch,
+                   sum(p.support)::BIGINT AS window_support
+            FROM pb p JOIN hi h ON p.pattern_key = h.pattern_key
+            WHERE p.batch_id > h.upto_batch - 3
+            GROUP BY 1, 2
         """,
         "a1_mis_exact": """
             WITH quads AS (

@@ -58,6 +58,48 @@ def start_extraction_stream(
     )
 
 
+_WSTATE_OUT = "pattern_key STRING, upto_batch LONG, window_support LONG"
+_WSTATE_STATE = "batch_ids ARRAY<LONG>, supports ARRAY<LONG>"
+
+
+def stateful_window_support(per_batch_stream: DataFrame,
+                            window_batches: int = 3) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: the
+    reference's cross-batch sliding-window pattern bookkeeping
+    (DatatoPatternGraph.scala:513-522 window union + :580-588 eviction,
+    held in driver maps there) as per-key state inside the stream.
+
+    Input stream rows: (pattern_key, batch_id, support). State per
+    pattern_key = the per-batch supports still inside the window; each
+    update evicts batches older than ``window_batches`` behind the newest
+    and emits (pattern_key, upto_batch, window_support). Works on any
+    grouped stream; eviction keys off batch_id carried IN the data, so
+    microbatch boundaries and arrival order don't change the result.
+    """
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def update(key, pdfs, state):
+        ids, sups = ([], []) if not state.exists else [
+            list(x) for x in state.get
+        ]
+        acc = dict(zip(ids, sups))
+        for pdf in pdfs:
+            for b, s in zip(pdf["batch_id"], pdf["support"]):
+                acc[int(b)] = acc.get(int(b), 0) + int(s)
+        hi = max(acc)
+        acc = {b: s for b, s in acc.items() if b > hi - window_batches}
+        state.update((sorted(acc), [acc[b] for b in sorted(acc)]))
+        yield pd.DataFrame(
+            {"pattern_key": [key[0]], "upto_batch": [hi],
+             "window_support": [sum(acc.values())]}
+        )
+
+    return per_batch_stream.groupBy("pattern_key").applyInPandasWithState(
+        update, _WSTATE_OUT, _WSTATE_STATE, "update",
+        "NoTimeout",
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -203,3 +203,37 @@ def test_embedding_near_duplicates(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (3, 4) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_write_pattern_outputs_roundtrip(spark, tmp_path):
+    """S14: frequent/per-batch/dep-edge sinks write readable, partitioned
+    parquet that round-trips value-identically."""
+    from nous_spark.sources.sinks import write_pattern_outputs
+
+    frequent = spark.createDataFrame(
+        [("(1,2,3)", 5), ("(4,5,6)", 2)], ["pat_str", "support"]
+    )
+    per_batch = spark.createDataFrame(
+        [(40, "(1,2,3)", 3), (41, "(1,2,3)", 2), (41, "(4,5,6)", 2)],
+        ["batch_id", "pat_str", "support"],
+    )
+    dep = spark.createDataFrame(
+        [("(1,2,3)", "(1,2,3)+(4,5,6)")],
+        ["parent_pattern_key", "child_pattern_key"],
+    )
+    root = str(tmp_path / "patterns")
+    write_pattern_outputs(frequent, per_batch, dep, root)
+
+    back_f = spark.read.parquet(f"{root}/frequent_patterns")
+    assert {(r.pat_str, r.support) for r in back_f.collect()} == {
+        ("(1,2,3)", 5), ("(4,5,6)", 2)
+    }
+    import os
+
+    per_dirs = os.listdir(f"{root}/frequent_patterns_per_batch")
+    assert "batch_id=40" in per_dirs and "batch_id=41" in per_dirs
+    back_pb = spark.read.parquet(f"{root}/frequent_patterns_per_batch")
+    assert back_pb.count() == 3
+    assert {r.batch_id for r in back_pb.collect()} == {40, 41}
+    back_d = spark.read.parquet(f"{root}/dependency_graph")
+    assert back_d.collect()[0].child_pattern_key == "(1,2,3)+(4,5,6)"

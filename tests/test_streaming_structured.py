@@ -70,3 +70,53 @@ def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
     assert len(got) <= len(static)
     static_keys = {(r.window_start, r.event_type, r.cnt) for r in static}
     assert all((r.window_start, r.event_type, r.cnt) in static_keys for r in got)
+
+
+def test_stateful_window_support(spark, tmp_path):
+    """applyInPandasWithState sliding-window support: state evicts batches
+    older than the window; final emission equals a batch recomputation."""
+    import pandas as pd
+    from nous_spark.streaming.structured import stateful_window_support
+
+    src = str(tmp_path / "pb")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    rows = []
+    # pattern A in every batch, B only early, C only late
+    for b in range(5):
+        rows.append(("A", b, 10 + b))
+        if b < 2:
+            rows.append(("B", b, 5))
+        if b >= 3:
+            rows.append(("C", b, 7))
+    for b in range(5):
+        pd.DataFrame(
+            [r for r in rows if r[1] == b],
+            columns=["pattern_key", "batch_id", "support"],
+        ).to_parquet(f"{src}/batch_{b:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("pattern_key STRING, batch_id LONG, support LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_window_support(stream, window_batches=3)
+        .writeStream.format("memory")
+        .queryName("wsup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from wsup").collect()
+    # last state per pattern (highest upto_batch wins)
+    final = {}
+    for r in sorted(out, key=lambda r: r.upto_batch):
+        final[r.pattern_key] = (r.upto_batch, r.window_support)
+    # window = batches {2,3,4}: A = 12+13+14; B evicted entirely; C = 7+7
+    assert final["A"] == (4, 39)
+    assert final["C"] == (4, 14)
+    # B's last update was at batch 1 with batches {0,1} in window
+    assert final["B"] == (1, 10)
