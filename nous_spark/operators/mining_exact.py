@@ -88,13 +88,19 @@ def read_int_quads(spark: SparkSession, path: str, batch_ms: int = MS_IN_YEAR) -
     ).drop("ts")
 
 
-def first_types(quads: DataFrame, type_pred: int = 0) -> DataFrame:
-    """(id, vtype): first type per vertex. 'First' = smallest dst id —
-    a deterministic stand-in for the reference's partition-order head."""
-    return (
-        quads.filter(F.col("pred") == type_pred)
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("vtype"))
+def first_types(quads: DataFrame, type_pred: int = 0,
+                head: str = "min") -> DataFrame:
+    """(id, vtype): first type per vertex. 'First' is a deterministic
+    stand-in for the reference's partition-order head:
+    ``head="min"`` → smallest type id; ``head="file_order"`` → the type
+    edge appearing earliest in the source file (order_hint)."""
+    typed = quads.filter(F.col("pred") == type_pred)
+    if head == "file_order" and "order_hint" in quads.columns:
+        return typed.groupBy(F.col("src").alias("id")).agg(
+            F.min_by("dst", "order_hint").alias("vtype")
+        )
+    return typed.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("vtype")
     )
 
 
@@ -153,18 +159,19 @@ def one_edge_instances_exact(
     )
 
 
-def _limited_pairs(pts: DataFrame, key: str, edge_limit: int = 2) -> DataFrame:
+def _limited_pairs(pts: DataFrame, key: str, edge_limit: int = 2,
+                   order_cols: list | None = None) -> DataFrame:
     """The reference's edgeLimit truncation (getGIPEdges :1089-1099,
     :825-861): per key, for the i-th list element connect it to the next
     ``edge_limit`` elements only. The reference's list order is GraphX
-    partition order; ours is file order (order_hint) when available,
-    else inst_id — deterministic, same shape."""
+    partition order; ours is a deterministic stand-in chosen by
+    ``order_cols``. Measured on the WSJ golden (orientation-normalized
+    recall): edge_dst 0.802 > inst_id 0.738 > file order 0.714 >
+    entities-file type heads 0.530 — none can reproduce GraphX partition
+    order exactly, so parity is reported as overlap."""
     from pyspark.sql import Window
 
-    # measured on the WSJ golden: inst_id order overlaps the reference's
-    # (partition-order) truncation slightly better than file order
-    # (0.738 vs 0.714 orientation-normalized) — neither reproduces it
-    w = Window.partitionBy(key).orderBy("inst_id")
+    w = Window.partitionBy(key).orderBy(*(order_cols or ["inst_id"]))
     ranked = pts.withColumn("__rn", F.row_number().over(w))
     l = ranked.alias("l")
     r = ranked.alias("r")
@@ -180,15 +187,26 @@ def _limited_pairs(pts: DataFrame, key: str, edge_limit: int = 2) -> DataFrame:
     )
 
 
-def gip_edges_shared_node(instances: DataFrame, edge_limit: int | None = 2) -> DataFrame:
+def _order_cols_for(mode: str, have_hint: bool) -> list[str]:
+    if mode == "order_hint" and have_hint:
+        return ["order_hint", "inst_id"]
+    if mode == "edge_dst":
+        return ["__edz", "inst_id"]
+    return ["inst_id"]
+
+
+def gip_edges_shared_node(instances: DataFrame, edge_limit: int | None = 2,
+                          limit_order: str = "edge_dst") -> DataFrame:
     """GIP edges among 1-edge instances sharing a data vertex
     (getGIPEdges :1035-1104). ``edge_limit=None`` → all pairs in both
     orientations (the untruncated semantics; a superset of any
     partition-order truncation, so golden frequent patterns are a subset
     of ours by support monotonicity)."""
-    cols = ["inst_id"] + (["order_hint"] if "order_hint" in instances.columns else [])
+    have_hint = "order_hint" in instances.columns
+    cols = ["inst_id"] + (["order_hint"] if have_hint else [])
     pts = instances.select(
         *cols,
+        F.col("ins")[0]["z"].alias("__edz"),
         F.explode(F.array(F.col("ins")[0]["x"], F.col("ins")[0]["z"])).alias("node"),
     ).dropDuplicates(["inst_id", "node"])
     if edge_limit is None:
@@ -200,7 +218,8 @@ def gip_edges_shared_node(instances: DataFrame, edge_limit: int | None = 2) -> D
             .select(F.col("l.inst_id").alias("src"), F.col("r.inst_id").alias("dst"))
             .dropDuplicates(["src", "dst"])
         )
-    return _limited_pairs(pts, "node", edge_limit)
+    return _limited_pairs(pts, "node", edge_limit,
+                          _order_cols_for(limit_order, have_hint))
 
 
 def gip_edges_shared_instance_edge(new_instances: DataFrame,
@@ -240,7 +259,8 @@ class ExactPatternMiner:
 
     def __init__(self, spark: SparkSession, mis_support: int = 2,
                  window_batches: int = 3, max_pattern_size: int = 2,
-                 type_pred: int = 0, edge_limit: int | None = 2):
+                 type_pred: int = 0, edge_limit: int | None = 2,
+                 type_head: str = "min", limit_order: str = "edge_dst"):
         self.spark = spark
         self.mis = mis_support
         self.window = window_batches
@@ -248,6 +268,8 @@ class ExactPatternMiner:
         self.max_iter = max(1, int(math.log2(max_pattern_size)))
         self.type_pred = type_pred
         self.edge_limit = edge_limit
+        self.type_head = type_head
+        self.limit_order = limit_order
         self.vertices: DataFrame | None = None   # instance nodes
         self.edges: DataFrame | None = None      # GIP edges
         self.freq_window: DataFrame | None = None  # Σ post-join frequent
@@ -273,10 +295,11 @@ class ExactPatternMiner:
     def process_batch(self, quads: DataFrame, current_batch_id: int) -> DataFrame:
         """One loop iteration; returns this batch's pre-join frequent set
         (the per-batch log rows)."""
-        vtypes = first_types(quads, self.type_pred)
+        vtypes = first_types(quads, self.type_pred, head=self.type_head)
         incoming = self._persist(one_edge_instances_exact(quads, vtypes, self.type_pred))
         incoming_edges = self._persist(
-            gip_edges_shared_node(incoming, self.edge_limit)
+            gip_edges_shared_node(incoming, self.edge_limit,
+                                  limit_order=self.limit_order)
         )
 
         if self.vertices is None:

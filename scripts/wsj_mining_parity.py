@@ -47,11 +47,15 @@ def main() -> None:
     entities.count()
 
     mode = os.environ.get("NOUS_WSJ_MODE", "truncated")  # truncated | superset
+    type_head = os.environ.get("NOUS_WSJ_TYPE_HEAD", "min")
+    limit_order = os.environ.get("NOUS_WSJ_LIMIT_ORDER", "edge_dst")
     miner = ExactPatternMiner(
         spark, mis_support=2, window_batches=3, max_pattern_size=2,
         type_pred=0, edge_limit=None if mode == "superset" else 2,
+        type_head=type_head, limit_order=limit_order,
     )
-    print(f"# mode={mode}", file=sys.stderr)
+    print(f"# mode={mode} type_head={type_head} limit_order={limit_order}",
+          file=sys.stderr)
     for i, year in enumerate(range(2010, 2016)):
         batch_id = 40 + i  # driver increments per file from getBatchId(2010,'1y')
         facts = read_int_quads(spark, f"{INT}/wsj_facts_{year}.txt")
