@@ -172,6 +172,14 @@ def _q_token_count(spark, sf):  # text analysis: token counting
     return token_counts(_read(spark, sf, "documents")).select("doc_id", "n_tokens")
 
 
+def _q_subword_count(spark, sf):  # text analysis: BPE-ish token counting
+    from nous_spark.operators.textstats import regex_token_counts
+
+    return regex_token_counts(_read(spark, sf, "documents")).select(
+        "doc_id", "n_subword_tokens"
+    )
+
+
 def _q_quality_score(spark, sf):  # text analysis: quality scoring
     from nous_spark.operators.textstats import quality_scores
 
@@ -823,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_anti_join": _q_anti_join,
         "str_windowed_agg": _q_windowed_agg,
         "txt_token_count": _q_token_count,
+        "txt_subword_count": _q_subword_count,
         "txt_quality_score": _q_quality_score,
         "dd_exact_dedup": _q_dedup_exact,
         "a6_edge_signatures": _q_edge_signatures,
@@ -939,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
                    AS n_tokens
+            FROM documents
+        """,
+        "txt_subword_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]+'))::BIGINT
+                   AS n_subword_tokens
             FROM documents
         """,
         "txt_quality_score": """

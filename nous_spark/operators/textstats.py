@@ -31,16 +31,14 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def regex_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Sub-word-ish token count: words, numbers and punctuation runs counted
-    separately (a cheap BPE proxy for cost estimation)."""
-    c = F.col(text_col)
+    """Sub-word-ish token count (BPE proxy for training-cost estimation):
+    letter runs, digit runs and punctuation runs count as one token each —
+    one JVM-side regexp_count, no UDF."""
     return df.withColumn(
         "n_subword_tokens",
-        F.size(F.filter(
-            F.split(F.regexp_replace(c, r"([A-Za-z]+|\d+|[^\sA-Za-z\d]+)", "$1"),
-                    ""),
-            lambda x: F.length(F.trim(x)) > 0,
-        )).cast("long"),
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+        ).cast("long"),
     )
 
 
