@@ -123,3 +123,16 @@ def test_connected_components_log_rounds(spark):
             connected_components(edges, max_iter=12).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 301
+
+
+def test_new_operators_no_cartesian_no_python(spark, sf_dir):
+    """Round-2 operators must stay JVM-side with no cartesian blowups."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["a9_semantic_relatedness", "j6_grow_patterns",
+                 "g9_sample_v1", "a7_popularity", "a8_context_score",
+                 "j3_neighborhoods", "s5_autodetect", "txt_subword_count"]:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, f"{name} has Python in the hot path"
