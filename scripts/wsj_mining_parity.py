@@ -110,6 +110,21 @@ def main() -> None:
     res["per_batch_support_exact"] = round(
         sum(1 for k in pb_inter if pb_got[k] == pb_gold[k]) / max(len(pb_inter), 1), 4
     )
+
+    # 1-edge per-batch rows (truncation-independent: no GIP edges involved)
+    # — these should be near-exact; carried 2-edge rows are truncation-
+    # dependent (NOTES_ROUND1 item 7)
+    def one_edge(k):
+        return ", " not in k[1]
+
+    g1 = {k: v for k, v in pb_gold.items() if one_edge(k)}
+    o1 = {k: v for k, v in pb_got.items() if one_edge(k)}
+    i1 = set(g1) & set(o1)
+    res["per_batch_1edge_recall"] = round(len(i1) / max(len(g1), 1), 4)
+    res["per_batch_1edge_precision"] = round(len(i1) / max(len(o1), 1), 4)
+    res["per_batch_1edge_support_exact"] = round(
+        sum(1 for k in i1 if o1[k] == g1[k]) / max(len(i1), 1), 4
+    )
     print(json.dumps(res))
 
 
