@@ -769,6 +769,24 @@ def _q_mm_image_stats(spark, sf):  # multimodal: real PNG decode (rows-only)
     )
 
 
+def _q_mm_audio_stats(spark, sf):  # multimodal: real WAV decode (rows-only)
+    import numpy as np
+
+    from nous_spark.operators.multimodal import decode_audio_stats, encode_wav
+
+    rows = []
+    for i in range(12):
+        rng = np.random.default_rng(100 + i)
+        x = rng.uniform(-0.7, 0.7, (500 + 50 * i, 1 + i % 2))
+        rows.append((i, bytearray(encode_wav(x, 8000 * (1 + i % 2)))))
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    return decode_audio_stats(media).select(
+        "media_id", "sample_rate", "n_channels", "n_frames",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"), F.round("peak", 6).alias("peak"),
+    )
+
+
 def _q_str_stateful_window(spark, sf):  # applyInPandasWithState window state
     import tempfile
 
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_pic": _q_g7_pic,
         "lp_bpr_metrics": _q_lp_bpr_metrics,
         "mm_image_stats": _q_mm_image_stats,
+        "mm_audio_stats": _q_mm_audio_stats,
         "str_stateful_window": _q_str_stateful_window,
     }
 

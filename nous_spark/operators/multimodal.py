@@ -3,8 +3,9 @@ typed metadata, decoded inside Arrow-batched mapInPandas.
 
 Image decode is REAL for PNG (all five filter types, 8-bit gray/RGB/RGBA,
 pure NumPy + stdlib zlib — no PIL in this container) and binary PPM (P6).
-Audio/video decoders remain stubs behind ``deterministic_fake`` (no codec
-libs here); their Spark-side plumbing (schemas, batch shape, frame-sample
+Audio decode is REAL for WAV (PCM 8/16/32-bit int + 32-bit float).
+Only compressed-codec video remains a stub behind ``deterministic_fake``
+(no codec libs here); its plumbing (schemas, batch shape, frame-sample
 plan) is real and tested.
 """
 
@@ -237,6 +238,93 @@ def decode_image_stats(media: DataFrame, payload_col: str = "payload",
             )
 
     return media.mapInPandas(run, schema=_IMAGE_STATS_SCHEMA)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV decode (PCM 8/16/32-bit int + 32-bit float).
+    Returns (samples[n_frames, n_channels] as float64 in [-1, 1],
+    sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            raw = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+    n = (len(x) // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV encoder for fixtures/round-trip tests."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.DoubleType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def decode_audio_stats(media: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id") -> DataFrame:
+    """Real audio decode over a BINARY column (WAV/PCM): rate, channels,
+    frames, duration, RMS and peak amplitude. Arrow-batched mapInPandas;
+    undecodable payloads get decode_error instead of killing the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    x, rate = decode_wav(bytes(payload))
+                    rows.append((
+                        int(mid), int(rate), int(x.shape[1]), int(x.shape[0]),
+                        1000.0 * x.shape[0] / rate,
+                        float(np.sqrt((x ** 2).mean())) if x.size else 0.0,
+                        float(np.abs(x).max()) if x.size else 0.0,
+                        None,
+                    ))
+                except Exception as exc:
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=_AUDIO_STATS_SCHEMA)
 
 
 def resize_image_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -121,3 +121,48 @@ def test_s5_no_python_udf(spark):
         spark, f"{FIXTURES}/corpus.jsonl"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wav_roundtrip_and_formats():
+    from nous_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.5, 0.5, (1000, 2))
+    back, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and back.shape == (1000, 2)
+    assert np.abs(back - x).max() < 1 / 32000  # 16-bit quantization
+
+    # float32 WAV (audio_fmt=3)
+    import struct
+
+    pcm = x[:, 0].astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    f32 = b"RIFF" + struct.pack("<I", len(body)) + body
+    back2, rate2 = decode_wav(f32)
+    assert rate2 == 8000 and np.abs(back2[:, 0] - x[:, 0]).max() < 1e-6
+
+
+def test_decode_audio_stats_spark(spark):
+    from nous_spark.operators.multimodal import decode_audio_stats, encode_wav
+
+    rng = np.random.default_rng(9)
+    rows = []
+    truth = {}
+    for i in range(4):
+        n = 800 + 100 * i
+        x = rng.uniform(-0.8, 0.8, (n, 1 + i % 2))
+        rows.append((i, bytearray(encode_wav(x, 8000 * (1 + i % 3)))))
+        truth[i] = (8000 * (1 + i % 3), 1 + i % 2, n)
+    rows.append((9, bytearray(b"not-audio")))
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r.media_id: r for r in decode_audio_stats(media).collect()}
+    for i, (rate, ch, n) in truth.items():
+        assert got[i].sample_rate == rate
+        assert got[i].n_channels == ch
+        assert got[i].n_frames == n
+        assert abs(got[i].duration_ms - 1000.0 * n / rate) < 1e-6
+        assert 0 < got[i].rms < got[i].peak <= 0.8 + 1 / 32000
+        assert got[i].decode_error is None
+    assert got[9].decode_error is not None
