@@ -220,28 +220,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """SimHash per doc: sign-sum of per-token hash bits, JVM-side.
     Emits (id, simhash BIGINT). Near-dups = small hamming distance —
-    use ``simhash_near_duplicates`` for banded matching."""
+    use ``simhash_near_duplicates`` for banded matching.
+
+    ONE aggregate pass carries all ``bits`` running sign-sums in an array
+    accumulator (the per-bit-aggregate form scanned the token array 64
+    times per row — same anti-pattern the minhash signatures had)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    # for each bit: sum(+1/-1) over tokens, take sign (factory binds b —
-    # a lambda default arg would change the aggregate lambda's arity)
-    def bit_sum(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = [
-        F.when(
-            F.aggregate(tok_hashes, F.lit(0), bit_sum(b)) > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")).alias(f"bit_{b}")
-        for b in range(bits)
-    ]
-    packed = None
-    for b in range(bits):
-        term = F.shiftleft(bit_cols[b], b)
-        packed = term if packed is None else packed.bitwiseXOR(term)
+    # 2^b as signed-long literals (bit 63 wraps to the sign bit) — shift
+    # builtins take only literal shift amounts, masks work per-element
+    pow2 = [(1 << b) if b < 63 else (1 << b) - (1 << 64) for b in range(bits)]
+    masks = F.array(*[F.lit(p).cast("long") for p in pow2])
+    init = F.array(*[F.lit(0)] * bits)
+    # hash in the aggregate INPUT (one xxhash64 per token) — hashing inside
+    # the inner zip_with lambda would recompute it per bit (64×/token)
+    sums = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, p: a + F.when(
+                h.bitwiseAND(p) != 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            sums, masks,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseXOR(t),
+    )
     return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
 
 
