@@ -678,7 +678,7 @@ def _q_ann_lsh_topk(spark, sf):  # ANN scale path (rows-only: hash family)
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, dim=dim, k=10)
+    return lsh_topk(emb, q, dim=dim, k=10, n_bits=8, n_tables=3)
 
 
 def _q_embedding_near_dups(spark, sf):  # embedding near-dup (rows-only)
@@ -686,7 +686,19 @@ def _q_embedding_near_dups(spark, sf):  # embedding near-dup (rows-only)
 
     emb = _read(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return embedding_near_duplicates(emb, dim=dim, threshold=0.9)
+    # the synthetic embeddings are random (no natural near-dups, which
+    # would make this gate vacuous) — plant 10 shifted copies whose cosine
+    # to their source is ~0.987, which the operator must recover
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda v: v + 0.02
+        ).alias("embedding"),
+    )
+    both = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return embedding_near_duplicates(both, dim=dim, threshold=0.9)
 
 
 def _q_s5_autodetect(spark, sf):  # S5 plugin JSON format auto-detection
