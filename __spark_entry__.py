@@ -145,8 +145,11 @@ def _q_semi_join(spark, sf):  # J7
 
 
 def _q_anti_join(spark, sf):  # J9
+    # every customer has orders in the testdata, so an unfiltered anti-join
+    # returns 0 rows and validates nothing — restrict the right side so a
+    # real survivor set exists (customers none of whose orderkeys ≡ 0 mod 7)
     c = _read(spark, sf, "customer")
-    o = _read(spark, sf, "orders")
+    o = _read(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -967,7 +970,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j9_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderkey % 7 = 0)
         """,
         "str_windowed_agg": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
