@@ -73,16 +73,22 @@ def string_sim(query: str, database: str, match_threshold: float = 0.7,
     min_word = match_threshold * 2
     while i < n1 and j < n2:
         a, b = w1[i], w2[j]
-        la, lb = max(len(a), 1), max(len(b), 1)
-        # d ≥ |la−lb|: skipping Levenshtein when the bound can't reach
-        # min_word changes no outcome — an unreachable word never counts
-        # as a match in the reference loop either
-        dmin = abs(la - lb)
-        if (1 - dmin / la) + (1 - dmin / lb) < min_word:
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            # Scala: d/0.0 is NaN (empty vs empty) or Infinity-tainted —
+            # `>= min_word` is false either way, so an empty word never
+            # matches; it just advances per the lexicographic rule
             word_score = -1.0
         else:
-            d = float(_levenshtein(a, b))
-            word_score = (1 - d / la) + (1 - d / lb)
+            # d ≥ |la−lb|: skipping Levenshtein when the bound can't reach
+            # min_word changes no outcome — an unreachable word never
+            # counts as a match in the reference loop either
+            dmin = abs(la - lb)
+            if (1 - dmin / la) + (1 - dmin / lb) < min_word:
+                word_score = -1.0
+            else:
+                d = float(_levenshtein(a, b))
+                word_score = (1 - d / la) + (1 - d / lb)
         if word_score >= min_word:
             i += 1
             j += 1

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# embeddings at or under this row count run Lloyd driver-side (exact, one
+# collect); larger ones use the distributed per-round aggregate
+_KMEANS_DRIVER_CAP = 4_000_000
+
 
 def power_iteration_clustering(
     sim: DataFrame,
@@ -49,9 +53,15 @@ def power_iteration_clustering(
         .filter(F.col("w") > 0)
         .filter(F.col("a") != F.col("b"))
     )
-    e = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).dropDuplicates(["a", "b"]).persist()
+    # symmetrize with a deterministic reduction: if the input carries both
+    # (a,b,w1) and (b,a,w2) or duplicate edges, max(w) wins regardless of
+    # partition order (dropDuplicates would pick an arbitrary row)
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+        .persist()
+    )
 
     deg = e.groupBy("a").agg(F.sum("w").alias("d")).withColumnRenamed("a", "id")
     if isinstance(init, DataFrame):
@@ -70,8 +80,10 @@ def power_iteration_clustering(
     # v ← (W v)_i / d_i is an average of neighbor values (row sums of
     # D⁻¹W are 1), so iterates stay bounded and the direction is all that
     # matters — normalize ONCE after the loop instead of paying a
-    # collect-the-norm job every iteration (halves the job count)
-    for _ in range(max_iter):
+    # collect-the-norm job every iteration. Lineage is truncated every
+    # third round (an eager localCheckpoint is a whole job; 3 chained
+    # join+agg rounds stay well within planner limits)
+    for it in range(max_iter):
         wv = (
             e.join(v.withColumnRenamed("id", "b"), "b")
             .select("a", (F.col("w") * F.col("v")).alias("wv"))
@@ -81,7 +93,9 @@ def power_iteration_clustering(
         )
         v = deg.join(wv, "id", "left").select(
             "id", (F.coalesce("num", F.lit(0.0)) / F.col("d")).alias("v")
-        ).localCheckpoint(eager=True)
+        )
+        if it % 3 == 2 or it == max_iter - 1:
+            v = v.localCheckpoint(eager=True)
 
     norm = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
     v = v.select("id", (F.col("v") / F.lit(norm)).alias("v")).localCheckpoint(
@@ -96,19 +110,44 @@ def power_iteration_clustering(
     while len(centroids) < k:
         centroids.append(centroids[-1] + 1e-9 * (len(centroids) + 1))
 
-    for _ in range(kmeans_iter):
-        dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
-        assigned = v.withColumn(
-            "cluster", F.array_position(dists, F.array_min(dists)) - 1
-        )
-        means = {
-            r.cluster: r.m
-            for r in assigned.groupBy("cluster").agg(F.avg("v").alias("m")).collect()
-        }
-        new_centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
+    # Lloyd rounds: when the embedding fits on the driver (one double per
+    # vertex; the cap is ~64 MB), run them exactly in NumPy — ONE collect
+    # instead of one Spark job per round. Past the cap (web-scale vertex
+    # sets) the distributed per-round aggregate below runs instead; both
+    # paths use the same argmin-first tie-break as the final assignment.
+    vals = [r.v for r in v.select("v").limit(_KMEANS_DRIVER_CAP + 1).collect()]
+    if len(vals) <= _KMEANS_DRIVER_CAP:
+        import numpy as np
+
+        arr = np.asarray(vals, dtype=np.float64)
+        for _ in range(kmeans_iter):
+            c = np.asarray(centroids)
+            assign = np.argmin(np.abs(arr[:, None] - c[None, :]), axis=1)
+            new_centroids = [
+                float(arr[assign == i].mean()) if (assign == i).any() else centroids[i]
+                for i in range(len(centroids))
+            ]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+    else:
+        for _ in range(kmeans_iter):
+            dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
+            assigned = v.withColumn(
+                "cluster", F.array_position(dists, F.array_min(dists)) - 1
+            )
+            means = {
+                r.cluster: r.m
+                for r in assigned.groupBy("cluster")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            }
+            new_centroids = [
+                means.get(i, centroids[i]) for i in range(len(centroids))
+            ]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
 
     dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
     out = v.select(

@@ -158,6 +158,11 @@ def dictionary_encode(
             (F.col("__rn") + F.col("__offset") + F.lit(start_id - 1)).alias("id"),
         )
     )
+    # materialize the dictionary (its storage is tied to the returned
+    # frame's lifetime) so the cached distinct-label table can be released
+    # now instead of leaking for the life of the session
+    dictionary = dictionary.localCheckpoint(eager=True)
+    ranged.unpersist()
     out = df
     for c in cols:
         m = dictionary.select(

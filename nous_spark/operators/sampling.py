@@ -103,10 +103,18 @@ def sample_and_hold_v2(
 ) -> DataFrame:
     """V2 (doSamplingV2, :187-246): sample-and-HOLD. The reference keeps a
     mutable visited set while streaming edges: a filtered-touching edge
-    whose endpoint was already visited is sampled at q, a first touch at p,
-    non-touching edges always kept. Distributed re-expression: "first
-    touch" = the edge is rank-1 in the deterministic (src, dst, pred)
-    ordering for at least one of its endpoints."""
+    with at least one already-visited endpoint is sampled at q, a true
+    first touch (BOTH endpoints fresh, the reference's else-branch) at p,
+    non-touching edges always kept. rdf:type edges are skipped entirely
+    (:217 processes only non-type triplets and never writes them — unlike
+    V1, which always keeps them). Distributed re-expression: "first touch"
+    = the edge is rank-1 in the deterministic (src, dst, pred) ordering for
+    BOTH of its endpoints; the remaining approximation (the reference's
+    visited set is stream-order, ours is per-endpoint rank over all edges
+    including non-touching ones, matching :230-234 which marks every
+    processed edge's endpoints visited) is role-agnostic by design."""
+    if type_pred is not None:
+        edges = edges.filter(F.col("pred") != type_pred)
     t = _flag_touching(edges, filtered_v)
     order = [F.col("src"), F.col("dst"), F.col("pred")]
     w_src = Window.partitionBy("src").orderBy(*order)
@@ -114,14 +122,12 @@ def sample_and_hold_v2(
     t = (
         t.withColumn("__r1", F.row_number().over(w_src))
         .withColumn("__r2", F.row_number().over(w_dst))
-        .withColumn("__first", (F.col("__r1") == 1) | (F.col("__r2") == 1))
+        .withColumn("__first", (F.col("__r1") == 1) & (F.col("__r2") == 1))
     )
     u = _uniform(seed, "v2", F.col("src"), F.col("dst"), F.col("pred"))
     keep = F.when(
         ~F.col("__touch"), F.lit(True)
     ).when(F.col("__first"), u <= p).otherwise(u <= q)
-    if type_pred is not None:
-        keep = keep | (F.col("pred") == type_pred)
     return t.filter(keep).drop("__touch", "__r1", "__r2", "__first")
 
 

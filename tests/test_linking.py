@@ -30,6 +30,17 @@ def test_string_sim_reference_semantics():
     assert string_sim("apple", "orange", 0.7) < 0.5
 
 
+def test_string_sim_empty_tokens_never_match():
+    # _split_words keeps internal empty tokens ('a, b' → ['a','','b']);
+    # in the Scala reference d/0.0 is NaN which never satisfies
+    # `>= min_word`, so empty-vs-empty must NOT count as a +2.0 match —
+    # disjoint words with matching separators stay dissimilar
+    assert string_sim("a, b", "x, y", 0.7) < 0.4
+    # and empty tokens don't inflate genuinely similar phrases either
+    s = string_sim("world, congress", "world, kongress", 0.7)
+    assert 0.4 < s < 1.0
+
+
 def test_js_divergence():
     assert js_divergence([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0)
     assert js_divergence([1.0, 0.0], [0.0, 1.0]) > 0.3

@@ -89,6 +89,36 @@ def test_v2_hold_first_touch(spark):
     assert sample_and_hold_v2(e, fv, q=1.0, p=0.0, seed=3, type_pred=None).count() == 19
 
 
+def test_v2_drops_type_edges(edges, hub_only):
+    # doSamplingV2 (:217) processes only non-type triplets and never
+    # writes rdf:type edges — unlike V1, which always keeps them
+    kept = sample_and_hold_v2(edges, hub_only, q=1.0, p=1.0, seed=3)
+    assert kept.filter(F.col("pred") == "rdf:type").count() == 0
+
+
+def test_v2_first_touch_requires_both_endpoints_fresh(spark):
+    # reference else-branch: p applies only when NEITHER endpoint is
+    # visited. (0,1,"x") is rank-1 for both 0 and 1 → held at p;
+    # (0,2,"y") is rank-2 for src 0 (visited) though rank-1 for dst 2 →
+    # sampled at q, NOT held
+    e = spark.createDataFrame([(0, 1, "x"), (0, 2, "y")], ["src", "dst", "pred"])
+    fv = spark.createDataFrame([(0,)], ["id"])
+    kept = {
+        r.pred
+        for r in sample_and_hold_v2(
+            e, fv, q=0.0, p=1.0, seed=3, type_pred=None
+        ).collect()
+    }
+    assert kept == {"x"}
+    kept_q = {
+        r.pred
+        for r in sample_and_hold_v2(
+            e, fv, q=1.0, p=0.0, seed=3, type_pred=None
+        ).collect()
+    }
+    assert kept_q == {"y"}
+
+
 def test_v3_keeps_untouched_drops_type(edges, hub_only):
     kept = sample_and_hold_v3(edges, hub_only, q=0.0, p=0.0, seed=5)
     got = {tuple(r) for r in kept.collect()}
