@@ -220,13 +220,24 @@ def bpr_train(
 def bpr_evaluate(
     P: DataFrame, Q: np.ndarray, B: np.ndarray,
     train: DataFrame, test: DataFrame, top_n: int = 10,
+    sampled_negatives: int | None = None, seed: int = 42,
 ) -> dict:
     """HR@N, ARHR, AUC exactly per the reference's Evaluate
     (social_BPR.py:88-186): rank a user's unpurchased items by
     P_u·Q_i + B_i (ties broken by item id — the reference's Python-2 set
     order is unreproducible); HR/ARHR over top-N against the test items;
     AUC averages, per test item, the fraction of non-test unpurchased
-    items ranked below it."""
+    items ranked below it.
+
+    ``sampled_negatives=K`` switches to sampled evaluation: each test item
+    is ranked against K seeded negative draws (unpurchased, non-test)
+    instead of the full catalog — O(K) per test item instead of O(|I|),
+    which is the only evaluation that survives a 100M-item catalog. The
+    exact path (default) is kept for reference-example parity; sampled
+    AUC is an unbiased estimate of exact AUC (each negative comparison is
+    an iid Bernoulli draw of the exact AUC's comparison set), HR@N/ARHR
+    become the standard leave-one-out sampled variants (rank within the
+    K+1 candidate set)."""
     per_user = (
         train.groupBy("user").agg(F.collect_set("item").alias("items"))
         .join(
@@ -238,6 +249,46 @@ def bpr_evaluate(
     )
     num_test = test.count()
     n_items = Q.shape[0]
+
+    def solve_sampled(pdf: pd.DataFrame) -> pd.DataFrame:
+        K = sampled_negatives
+        hr, rr, auc, active = 0, 0.0, 0.0, 0
+        for r in pdf.itertuples():
+            pu = np.array(r.factors)
+            pur = set(int(x) for x in r.items)
+            tests = (
+                [int(x) for x in r.test_items] if r.test_items is not None else []
+            )
+            excl = pur | set(tests)
+            for t in tests:
+                # deterministic per-(user, item) negative draws; oversample
+                # then reject purchased/test items — resume-stable and
+                # independent of partition layout
+                rng = np.random.default_rng((seed, int(r.user), t))
+                negs: list[int] = []
+                while len(negs) < K:
+                    cand = rng.integers(0, n_items, 4 * K)
+                    negs.extend(int(c) for c in cand if int(c) not in excl)
+                    if len(excl) >= n_items:  # no negatives exist
+                        break
+                if not negs:
+                    continue
+                negs_a = np.array(negs[:K], dtype=np.int64)
+                st = float(Q[t] @ pu + B[t])
+                sn = Q[negs_a] @ pu + B[negs_a]
+                # a negative ranks BELOW the test item iff its (−score,
+                # item) sort key is larger — same tie-break as exact path
+                below = (sn < st) | ((sn == st) & (negs_a > t))
+                active += 1
+                auc += float(below.sum()) / len(negs_a)
+                rank = 1 + int((~below).sum())  # within the K+1 candidates
+                if rank <= top_n:
+                    hr += 1
+                    rr += 1.0 / rank
+        return pd.DataFrame(
+            [(hr, rr, auc, active)],
+            columns=["hr_count", "rr_sum", "auc_sum", "active_test"],
+        )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         hr, rr, auc, active = 0, 0.0, 0.0, 0
@@ -277,8 +328,9 @@ def bpr_evaluate(
             columns=["hr_count", "rr_sum", "auc_sum", "active_test"],
         )
 
+    fn = solve if sampled_negatives is None else solve_sampled
     parts = per_user.groupBy(F.pmod(F.xxhash64("user"), F.lit(16))).applyInPandas(
-        lambda pdf: solve(pdf), _METRIC_SCHEMA
+        lambda pdf: fn(pdf), _METRIC_SCHEMA
     )
     agg = parts.agg(
         F.sum("hr_count").alias("hr"),

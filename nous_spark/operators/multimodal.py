@@ -4,9 +4,9 @@ typed metadata, decoded inside Arrow-batched mapInPandas.
 Image decode is REAL for PNG (all five filter types, 8-bit gray/RGB/RGBA,
 pure NumPy + stdlib zlib — no PIL in this container) and binary PPM (P6).
 Audio decode is REAL for WAV (PCM 8/16/32-bit int + 32-bit float).
-Only compressed-codec video remains a stub behind ``deterministic_fake``
-(no codec libs here); its plumbing (schemas, batch shape, frame-sample
-plan) is real and tested.
+Video decode is REAL for Y4M / YUV4MPEG2 (C420/C422/C444/Cmono, pure
+NumPy — the one video container that needs no codec libs); compressed
+codecs (H.264 etc.) raise a decode_error row, which is data, not a crash.
 """
 
 from __future__ import annotations
@@ -41,54 +41,108 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/bench."""
+    """Deterministic media table for tests/bench with REAL decodable
+    payloads: PNG images, 16-bit PCM WAV audio, Cmono Y4M video."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rng = np.random.default_rng((seed, i))
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((
-            i, kind, f"application/x-fake-{kind}",
-            64 + i % 512 if kind == "image" else None,
-            64 + (i * 3) % 512 if kind == "image" else None,
-            (1000 + i * 37) if kind != "image" else None,
-            bytearray(payload),
-        ))
+        if kind == "image":
+            w, h = 12 + i % 9, 8 + i % 7
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, dur = encode_png(img), None
+        elif kind == "audio":
+            rate = 8000
+            n_fr = 400 + 40 * (i % 11)
+            x = rng.uniform(-0.8, 0.8, (n_fr, 1 + i % 2))
+            payload, dur = encode_wav(x, rate), int(1000 * n_fr / rate)
+            w = h = None
+        else:
+            nf, fh, fw = 4 + i % 5, 6 + i % 4, 8 + i % 5
+            frames = rng.integers(0, 256, (nf, fh, fw), dtype=np.uint8)
+            payload, dur = encode_y4m(frames, fps_num=10), int(1000 * nf / 10)
+            w, h = fw, fh
+        if kind == "image":
+            w, h = img.shape[1], img.shape[0]
+        mime = {"image": "image/png", "audio": "audio/wav",
+                "video": "video/x-yuv4mpeg"}[kind]
+        rows.append((i, kind, mime, w, h, dur, bytearray(payload)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder: fold the byte histogram
-    into a unit vector. Replaces (not approximates) image decode."""
-    h = [0] * dim
-    for i, b in enumerate(payload):
-        h[(b + i) % dim] += 1
-    norm = sum(x * x for x in h) ** 0.5 or 1.0
-    return [x / norm for x in h]
+def _image_feature(data: bytes, dim: int) -> list[float]:
+    """Real image feature: decode, gray-convert, nearest-resize to a
+    square thumbnail of ~dim cells, L2-normalize."""
+    img = decode_png(data) if data[:8] == _PNG_MAGIC else decode_ppm(data)
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img
+    side = max(int(round(dim ** 0.5)), 1)
+    thumb = resize_image_nearest(gray, side, side).ravel()
+    vec = np.zeros(dim)
+    vec[: thumb.size] = thumb[:dim]
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return (vec / norm).tolist()
 
 
-def extract_features(
-    media: DataFrame, dim: int = 32, deterministic_fake: bool = True
-) -> DataFrame:
-    """Decode/feature-extract via mapInPandas over Arrow batches of binary
-    payloads. With ``deterministic_fake=False`` this is where a real
-    decoder (PIL/torchaudio/ffmpeg) plugs in; unavailable here → raises."""
+def _audio_feature(data: bytes, dim: int) -> list[float]:
+    """Real audio feature: mono mix, log-magnitude FFT folded into dim
+    bands, L2-normalized."""
+    x, _ = decode_wav(data)
+    mono = x.mean(axis=1)
+    if mono.size == 0:
+        return [0.0] * dim
+    mag = np.abs(np.fft.rfft(mono))
+    bands = np.array_split(np.log1p(mag), dim)
+    vec = np.array([b.mean() if b.size else 0.0 for b in bands])
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return (vec / norm).tolist()
+
+
+def _video_feature(data: bytes, dim: int) -> list[float]:
+    """Real video feature: per-frame mean luma resampled to dim points
+    (a temporal intensity profile), L2-normalized."""
+    frames, _, _ = decode_y4m(data)
+    if not frames:
+        return [0.0] * dim
+    prof = np.array([float(f.mean()) for f in frames])
+    idx = (np.arange(dim) * len(prof) // dim).clip(0, len(prof) - 1)
+    vec = prof[idx]
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return (vec / norm).tolist()
+
+
+def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
+    """Decode + feature-extract via mapInPandas over Arrow batches of
+    binary payloads, dispatching on the ``kind`` column to the REAL
+    decoders (PNG/PPM images, WAV audio, Y4M video). Undecodable payloads
+    get decode_error and an empty feature instead of killing the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fns = {"image": _image_feature, "audio": _audio_feature,
+               "video": _video_feature}
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libs not present "
-                    "in this environment; pass deterministic_fake=True"
-                )
-            out = pd.DataFrame({
+            feats, errs = [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                try:
+                    fn = fns.get(kind)
+                    if fn is None:
+                        raise ValueError(f"unknown media kind {kind!r}")
+                    feats.append(fn(bytes(payload), dim))
+                    errs.append(None)
+                except Exception as exc:  # decode failures are data
+                    feats.append([])
+                    errs.append(str(exc))
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "feature": pdf["payload"].map(lambda p: _fake_feature(bytes(p), dim)),
+                "feature": feats,
+                "decode_error": errs,
             })
-            yield out
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    schema = T.StructType(
+        FEATURE_SCHEMA.fields + [T.StructField("decode_error", T.StringType(), True)]
+    )
+    return media.mapInPandas(run, schema=schema)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -335,10 +389,163 @@ def resize_image_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+# chroma tag → (x_div, y_div); mono has no chroma planes
+_Y4M_CHROMA = {
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1),
+}
+
+
+def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int, float]:
+    """Pure-NumPy Y4M / YUV4MPEG2 decode (the one video container that
+    needs no codec: raw planar 8-bit YUV frames behind a text header).
+    Supports C420*/C422/C444/Cmono. Returns (luma frames [(H, W) uint8],
+    n_frames, fps)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M stream")
+    nl = data.index(b"\n")
+    w = h = 0
+    fps = 0.0
+    chroma = "420jpeg"  # spec default when C is absent
+    for tok in data[len(_Y4M_MAGIC):nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / max(int(den), 1)
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M missing W/H")
+    if chroma == "mono":
+        frame_len = w * h
+    elif chroma in _Y4M_CHROMA:
+        xd, yd = _Y4M_CHROMA[chroma]
+        frame_len = w * h + 2 * ((w // xd) * (h // yd))
+    else:
+        raise ValueError(f"unsupported Y4M chroma C{chroma}")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + frame_len > len(data):
+            raise ValueError("truncated frame")
+        y = np.frombuffer(data[pos:pos + w * h], dtype=np.uint8).reshape(h, w)
+        frames.append(y)
+        pos += frame_len
+    return frames, len(frames), fps
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Minimal Cmono Y4M encoder for fixtures/round-trip tests.
+    ``frames``: (N, H, W) uint8 luma."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
+
+
+_VIDEO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("fps", T.DoubleType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("luma_sha", T.StringType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def decode_video_stats(media: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id") -> DataFrame:
+    """Real video decode over a BINARY column (Y4M): dimensions, frame
+    count, fps, duration, mean luma over all frames and a sha256 of the
+    concatenated luma planes (lineage invariant). Arrow-batched
+    mapInPandas; undecodable payloads get decode_error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, n, fps = decode_y4m(bytes(payload))
+                    if not frames:
+                        raise ValueError("zero frames")
+                    h, w = frames[0].shape
+                    sha = hashlib.sha256()
+                    tot, cnt = 0.0, 0
+                    for f in frames:
+                        sha.update(f.tobytes())
+                        tot += float(f.sum())
+                        cnt += f.size
+                    rows.append((
+                        int(mid), w, h, n, float(fps),
+                        1000.0 * n / fps if fps > 0 else None,
+                        tot / cnt, sha.hexdigest(), None,
+                    ))
+                except Exception as exc:
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=_VIDEO_STATS_SCHEMA)
+
+
+_FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("frame_ts_ms", T.DoubleType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("frame_sha", T.StringType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n: int = 25,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """REAL frame sampling: decode Y4M payloads and emit one row per
+    every_n-th frame with its timestamp, mean luma, and pixel sha —
+    the decode stage that ``frame_sample_plan`` schedules."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, _, fps = decode_y4m(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        f = frames[i]
+                        rows.append((
+                            int(mid), i,
+                            1000.0 * i / fps if fps > 0 else None,
+                            float(f.mean()),
+                            hashlib.sha256(f.tobytes()).hexdigest(), None,
+                        ))
+                except Exception as exc:
+                    rows.append((int(mid), None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SAMPLE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=_FRAME_SAMPLE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: one row per planned frame timestamp
-    (the decode itself is the stub above). Pure Catalyst — explode over a
-    sequence bounded by duration."""
+    """Video frame-sampling SCHEDULE: one row per planned frame timestamp
+    (``sample_frames`` above performs the actual decode). Pure Catalyst —
+    explode over a sequence bounded by duration."""
     vids = media.filter(F.col("kind") == "video")
     return vids.select(
         "media_id",

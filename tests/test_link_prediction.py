@@ -107,3 +107,26 @@ def test_bpr_reference_examples(spark):
     assert m["AUC"] > 0.65, f"AUC {m['AUC']} vs init {m0['AUC']}"
     assert m["AUC"] > m0["AUC"]
     assert m["HR"] >= m0["HR"]
+    # sampled-negative evaluation (the 100M-item-catalog path) must agree
+    # with exact AUC within sampling noise on the reference example
+    ms = bpr_evaluate(P, Q, B, train, test, top_n=10,
+                      sampled_negatives=60, seed=7)
+    assert abs(ms["AUC"] - m["AUC"]) < 0.06, f"{ms['AUC']} vs {m['AUC']}"
+    # deterministic under the same seed
+    ms2 = bpr_evaluate(P, Q, B, train, test, top_n=10,
+                       sampled_negatives=60, seed=7)
+    assert ms == ms2
+
+
+def test_bpr_sampled_eval_agrees_with_exact(spark, block_data):
+    train, test = block_data
+    P, Q, B = bpr_train(
+        spark, train, n_items=20, epochs=8, steps_per_user=150, k=8,
+        n_blocks=4, seed=5,
+    )
+    exact = bpr_evaluate(P, Q, B, train, test, top_n=5)
+    # K=12 negatives on a 20-item catalog ≈ the full complement set
+    sampled = bpr_evaluate(P, Q, B, train, test, top_n=5,
+                           sampled_negatives=12, seed=11)
+    assert abs(sampled["AUC"] - exact["AUC"]) < 0.08
+    assert sampled["HR"] >= exact["HR"] - 0.15  # K+1 ranking is easier

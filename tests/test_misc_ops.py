@@ -82,21 +82,31 @@ def test_one_edge_instances_typed(spark):
 
 
 def test_multimodal_features(spark):
+    # synthetic_media payloads are real PNG/WAV/Y4M — every kind must
+    # decode through its real decoder, no errors, unit-norm features
     media = synthetic_media(spark, n=12)
     feats = extract_features(media, dim=16).collect()
     assert len(feats) == 12
+    assert all(r.decode_error is None for r in feats), [r.decode_error for r in feats]
     assert all(len(r.feature) == 16 for r in feats)
     assert all(r.n_bytes > 0 for r in feats)
+    for r in feats:
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-3, r.kind
     # deterministic across runs
     feats2 = extract_features(synthetic_media(spark, n=12), dim=16).collect()
     assert {r.media_id: list(r.feature) for r in feats} == \
         {r.media_id: list(r.feature) for r in feats2}
 
 
-def test_multimodal_stub_raises(spark):
-    media = synthetic_media(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        extract_features(media, deterministic_fake=False).collect()
+def test_multimodal_undecodable_is_data(spark):
+    from nous_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [(0, "image", "image/jpeg", 4, 4, None, bytearray(b"\xff\xd8junk")),
+            (1, "video", "video/mp4", 4, 4, 1000, bytearray(b"\x00\x00ftypmp4"))]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).collect()
+    assert all(r.decode_error is not None for r in feats)
+    assert all(list(r.feature) == [] for r in feats)
 
 
 def test_frame_sample_plan(spark):

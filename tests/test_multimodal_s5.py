@@ -166,3 +166,70 @@ def test_decode_audio_stats_spark(spark):
         assert 0 < got[i].rms < got[i].peak <= 0.8 + 1 / 32000
         assert got[i].decode_error is None
     assert got[9].decode_error is not None
+
+
+def test_y4m_roundtrip_and_chroma():
+    from nous_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.random.default_rng(5).integers(0, 256, (6, 8, 10), dtype=np.uint8)
+    got, n, fps = decode_y4m(encode_y4m(frames, fps_num=30))
+    assert n == 6 and fps == 30.0
+    assert all((g == f).all() for g, f in zip(got, frames))
+    # hand-built C420: luma plane must come back exactly, chroma skipped
+    w, h = 4, 2
+    y = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    chroma = bytes(2 * ((w // 2) * (h // 2)))
+    data = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y.tobytes() + chroma) * 1
+    fr, n, fps = decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+                            + b"FRAME\n" + y.tobytes() + chroma)
+    assert n == 1 and fps == 25.0 and (fr[0] == y).all()
+
+
+def test_y4m_errors():
+    from nous_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError, match="not a Y4M"):
+        decode_y4m(b"RIFFjunk")
+    frames = np.zeros((2, 4, 4), dtype=np.uint8)
+    data = encode_y4m(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(data[:-3])
+
+
+def test_decode_video_stats_spark(spark):
+    from nous_spark.operators.multimodal import decode_video_stats, encode_y4m
+
+    rows = []
+    for i in range(5):
+        frames = np.random.default_rng(i).integers(
+            0, 256, (3 + i, 6, 8), dtype=np.uint8
+        )
+        rows.append((i, bytearray(encode_y4m(frames, fps_num=10))))
+    rows.append((99, bytearray(b"not video at all")))
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r.media_id: r for r in decode_video_stats(media).collect()}
+    for i in range(5):
+        frames = np.random.default_rng(i).integers(
+            0, 256, (3 + i, 6, 8), dtype=np.uint8
+        )
+        r = out[i]
+        assert r.decode_error is None
+        assert (r.width, r.height, r.n_frames, r.fps) == (8, 6, 3 + i, 10.0)
+        assert abs(r.mean_luma - float(frames.mean())) < 1e-9
+        assert abs(r.duration_ms - 100.0 * (3 + i)) < 1e-9
+    assert out[99].decode_error is not None
+
+
+def test_sample_frames_real_decode(spark):
+    from nous_spark.operators.multimodal import encode_y4m, sample_frames
+
+    frames = np.random.default_rng(7).integers(0, 256, (10, 4, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(frames, fps_num=5)))], ["media_id", "payload"]
+    )
+    got = sorted(sample_frames(media, every_n=4).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 4, 8]
+    assert [r.frame_ts_ms for r in got] == [0.0, 800.0, 1600.0]
+    for r in got:
+        assert abs(r.mean_luma - float(frames[r.frame_idx].mean())) < 1e-9
