@@ -35,6 +35,31 @@ def read_triples_tsv(spark: SparkSession, path: str,
     )
 
 
+def read_triples_las(spark: SparkSession, path: str) -> DataFrame:
+    """F12 (ReadHugeGraph.getGraphTimeStampedLAS, ReadHugeGraph.scala:
+    378-409): LAS-dataset triple scan with the reference's munging —
+    distinct valid lines, ',' → ';' inside every field, and the
+    dataset-specific de-pluralization subj/obj 'drones' → 'drone'.
+    Pure column expressions over the S8-style line scan."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    c = F.col("line")
+    valid = lines.filter(
+        (F.length(c) > 0) & ~c.startswith("#") & ~c.startswith("@")
+    ).distinct()
+    parts = F.split(c, "\t")
+    ok = valid.filter(F.size(parts).isin(3, 4))
+
+    def munge(col):
+        cleaned = F.replace(F.trim(col), F.lit(","), F.lit(";"))
+        return F.when(cleaned == "drones", F.lit("drone")).otherwise(cleaned)
+
+    return ok.select(
+        munge(parts[0]).alias("subj"),
+        F.replace(F.trim(parts[1]), F.lit(","), F.lit(";")).alias("pred"),
+        munge(parts[2]).alias("obj"),
+    )
+
+
 def read_nlp_triple_blocks(spark: SparkSession, path: str) -> DataFrame:
     """NLPTripleParser.readTriples (NLPTripleParser.scala:92-117): 3/4-col
     TSV lines grouped into blocks by ';' terminator lines. Faithful to the

@@ -247,3 +247,22 @@ def test_write_pattern_outputs_roundtrip(spark, tmp_path):
     assert {r.batch_id for r in back_pb.collect()} == {40, 41}
     back_d = spark.read.parquet(f"{root}/dependency_graph")
     assert back_d.collect()[0].child_pattern_key == "(1,2,3)+(4,5,6)"
+
+
+def test_read_triples_las_munging(spark, tmp_path):
+    from nous_spark.sources.readers import read_triples_las
+
+    p = tmp_path / "las.txt"
+    p.write_text(
+        "drones\tcarries,payload\tcamera, lens\n"
+        "drones\tcarries,payload\tcamera, lens\n"   # duplicate line dropped
+        "base\tlaunches\tdrones\n"
+        "# comment\n"
+        "too\tfew\n"
+    )
+    got = {(r.subj, r.pred, r.obj) for r in read_triples_las(spark, str(p)).collect()}
+    # ','→';' in every field; subj/obj 'drones'→'drone'; pred untouched
+    assert got == {
+        ("drone", "carries;payload", "camera; lens"),
+        ("base", "launches", "drone"),
+    }
