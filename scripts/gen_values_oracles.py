@@ -110,6 +110,83 @@ def main() -> None:
         driver_style_compare(qs[g](spark, SF), out[g])
         print(f"{g}: fresh-run cross-check OK")
 
+    # g7_pic is additionally verified against an INDEPENDENT dense-NumPy
+    # PIC on the same sim graph (the VALUES rows must not merely be a
+    # replay of our own Spark output): cluster PARTITIONS must agree up
+    # to label permutation.
+    verify_g7_against_numpy(spark)
+    print("g7_pic: independent NumPy partition check OK")
+
+
+def verify_g7_against_numpy(spark) -> None:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    sim = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(F.col("a.l_suppkey").alias("src"),
+                 F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    edges = [(int(r.src), int(r.dst), float(r.weight)) for r in sim.collect()]
+    ids = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] = max(W[idx[s], idx[d]], w)
+        W[idx[d], idx[s]] = max(W[idx[d], idx[s]], w)
+    deg = W.sum(axis=1)
+    # same seeded-hash init as the operator (xxhash64 folded to [0,1)) —
+    # fetch it from Spark so both engines iterate the same vector
+    init = {
+        int(r.id): float(r.v)
+        for r in spark.createDataFrame([(i,) for i in ids], ["id"]).select(
+            "id",
+            (F.pmod(F.xxhash64("id", F.lit(42)), F.lit(1 << 30))
+             .cast("double") / float(1 << 30)).alias("v"),
+        ).collect()
+    }
+    v = np.array([init[i] for i in ids])
+    for _ in range(6):  # gate uses max_iter=6
+        v = (W @ v) / np.where(deg > 0, deg, 1.0)
+    v = v / np.abs(v).sum()
+    k = 4
+    qs_ = np.quantile(v, [(i + 0.5) / k for i in range(k)])
+    cents = sorted(set(float(c) for c in qs_))
+    while len(cents) < k:
+        cents.append(cents[-1] + 1e-9 * (len(cents) + 1))
+    for _ in range(10):
+        assign = np.argmin(np.abs(v[:, None] - np.array(cents)[None, :]), axis=1)
+        new = [float(v[assign == i].mean()) if (assign == i).any() else cents[i]
+               for i in range(len(cents))]
+        if new == cents:
+            break
+        cents = new
+    assign = np.argmin(np.abs(v[:, None] - np.array(cents)[None, :]), axis=1)
+    np_groups = {}
+    for vid, c in zip(ids, assign):
+        np_groups.setdefault(int(c), set()).add(vid)
+
+    rel = duckdb.sql(json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "values_oracles.json")))["g7_pic"])
+    oracle_groups = {}
+    for vid, c in rel.fetchall():
+        oracle_groups.setdefault(int(c), set()).add(int(vid))
+    got = sorted(sorted(g) for g in oracle_groups.values())
+    want = sorted(sorted(g) for g in np_groups.values())
+    assert got == want, (
+        f"g7 VALUES oracle partition != independent NumPy PIC:\n"
+        f" oracle={got}\n numpy ={want}")
+
 
 if __name__ == "__main__":
     main()

@@ -233,3 +233,24 @@ def test_sample_frames_real_decode(spark):
     assert [r.frame_ts_ms for r in got] == [0.0, 800.0, 1600.0]
     for r in got:
         assert abs(r.mean_luma - float(frames[r.frame_idx].mean())) < 1e-9
+
+
+def test_y4m_chroma_variants():
+    from nous_spark.operators.multimodal import decode_y4m
+
+    w, h = 6, 4
+    y = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    for tag, (xd, yd) in (("C422", (2, 1)), ("C444", (1, 1))):
+        chroma = bytes(2 * ((w // xd) * (h // yd)))
+        data = (f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 {tag}\n".encode()
+                + b"FRAME\n" + y.tobytes() + chroma
+                + b"FRAME\n" + y.tobytes() + chroma)
+        fr, n, fps = decode_y4m(data)
+        assert n == 2 and fps == 30.0
+        assert (fr[0] == y).all() and (fr[1] == y).all()
+    # header with no C tag defaults to 420jpeg per spec
+    chroma = bytes(2 * ((w // 2) * (h // 2)))
+    data = (f"YUV4MPEG2 W{w} H{h} F25:1\n".encode()
+            + b"FRAME\n" + y.tobytes() + chroma)
+    fr, n, _ = decode_y4m(data)
+    assert n == 1 and (fr[0] == y).all()
