@@ -10,18 +10,21 @@ determiner, tagged O.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from . import lexicon as lx
 from .tokenizer import Token, tokenize
 
 
-def _ner_tag(phrase_tokens: list[Token]) -> str:
-    words = [t.text for t in phrase_tokens]
-    phrase_low = " ".join(w.lower() for w in words)
-    if not any(t.is_propn for t in phrase_tokens):
+@lru_cache(maxsize=1 << 16)
+def _ner_tag_memo(words: tuple[str, ...], any_propn: bool) -> str:
+    """Pure NER decision on (texts, has-proper-noun) — memoized: mention
+    phrases repeat heavily across a corpus. Identical to the inline logic."""
+    if not any_propn:
         return "O"
     if any(w.lower() in lx.DATE_WORDS for w in words):
         return "DATE"
-    if phrase_low in lx.LOCATIONS:
+    if " ".join(w.lower() for w in words) in lx.LOCATIONS:
         return "LOCATION"
     if words[-1].lower() in lx.ORG_SUFFIXES:
         return "ORGANIZATION"
@@ -32,6 +35,13 @@ def _ner_tag(phrase_tokens: list[Token]) -> str:
     ):
         return "PERSON"
     return "MISC"
+
+
+def _ner_tag(phrase_tokens: list[Token]) -> str:
+    return _ner_tag_memo(
+        tuple(t.text for t in phrase_tokens),
+        any(t.is_propn for t in phrase_tokens),
+    )
 
 
 def noun_runs(tokens: list[Token]) -> list[list[Token]]:

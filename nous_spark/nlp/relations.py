@@ -230,6 +230,31 @@ def purge_longest_object(triples: list[RawTriple]) -> list[RawTriple]:
     return list(best.values())
 
 
+# sentence → (mentions, triples) memo. Boilerplate repeats enormously in
+# real corpora (license headers, doc templates, generated comments), so
+# identical sentences are the common case, not the exception. The cached
+# lists and RawTriples are treated as immutable by every consumer
+# (extract_document copies refs via extend; purge builds a new list).
+# Bounded per worker process; perf-only — decisions are unchanged.
+_SENT_CACHE: dict[tuple[str, bool], tuple[list, list]] = {}
+_SENT_CACHE_MAX = 1 << 16
+
+
+def _extract_sentence(
+    sent: str, fancy: bool
+) -> tuple[list[tuple[str, str]], list[RawTriple]]:
+    key = (sent, fancy)
+    hit = _SENT_CACHE.get(key)
+    if hit is None:
+        toks = tokenize(sent)
+        ments = extract_mentions_fancy(toks) if fancy else extract_mentions(toks)
+        rels = filter_relations(extract_relations(toks), ments, fancy=fancy)
+        hit = (ments, rels)
+        if len(_SENT_CACHE) < _SENT_CACHE_MAX:
+            _SENT_CACHE[key] = hit
+    return hit
+
+
 def extract_document(
     text: str, fancy: bool = False, purge: bool = True, coref: bool = False
 ) -> tuple[list[tuple[str, str]], list[RawTriple]]:
@@ -245,9 +270,7 @@ def extract_document(
     seen_m: set[str] = set()
     all_triples: list[RawTriple] = []
     for sent in split_sentences(text):
-        toks = tokenize(sent)
-        ments = extract_mentions_fancy(toks) if fancy else extract_mentions(toks)
-        rels = filter_relations(extract_relations(toks), ments, fancy=fancy)
+        ments, rels = _extract_sentence(sent, fancy)
         for tag, phrase in ments:
             if phrase not in seen_m:
                 seen_m.add(phrase)

