@@ -76,6 +76,18 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_oracled_keys_precede_rows_only():
+    # the driver may truncate the registry (round 2 capped at 50 keys):
+    # every oracled entry must come before every rows-only entry so a cap
+    # drops the weakest signal first
+    keys = list(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    if rows_only:
+        last_oracled = max(keys.index(k) for k in ORACLES)
+        first_rows_only = min(keys.index(k) for k in rows_only)
+        assert last_oracled < first_rows_only
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
