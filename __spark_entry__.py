@@ -738,15 +738,24 @@ def _q_g9_sample_v1(spark, sf):  # G9/V1 with q=1 (deterministic keep-set)
 def _q_g7_pic(spark, sf):  # G7 power-iteration clustering (rows-only)
     from nous_spark.operators.clustering import power_iteration_clustering
 
-    li = _read(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    sim = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    li = _read(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # co-occurrence build in ONE shuffle instead of distinct+self-join+agg
+    # (three): collect_set per order subsumes the distinct, and the <-pairs
+    # are exploded JVM-side from the sorted set (per-order set is bounded
+    # by lines-per-order ~7, so the explosion is O(1) per group at any SF)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+
+    def _tail_pairs(x, i):  # (element, 0-based index) -> pairs with later elems
+        return F.transform(
+            F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")),
         )
+
+    sim = (
+        grouped.select(F.explode(F.flatten(F.transform("ss", _tail_pairs))).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count("*").cast("double").alias("weight"))
     )
     out = power_iteration_clustering(sim, k=4, max_iter=6)
