@@ -61,7 +61,14 @@ def _sgd_block(
     alpha: float, lamda: float, steps_per_user: int, seed: int,
 ) -> pd.DataFrame:
     """One epoch of local SGD for one user block. pdf rows:
-    (user, items, friend_items, factors)."""
+    (user, items, friend_items, factors).
+
+    The group frame is sorted by user FIRST: under applyInPandas a group's
+    row order follows shuffle fetch order, so without the sort the RNG
+    walk (which indexes ``users`` positionally) — and therefore the whole
+    SGD trajectory — would change with partition layout. Sorting makes
+    training a pure function of (data, seed), independent of layout."""
+    pdf = pdf.sort_values("user").reset_index(drop=True)
     Q = Q.copy()
     B = B.copy()
     Q0, B0 = Q.copy(), B.copy()
@@ -145,7 +152,12 @@ def bpr_train(
     """Train BPR. train(user, item) with item ids in [0, n_items);
     social(user, friend) optional. Returns (P DataFrame(user, factors),
     Q ndarray, B ndarray)."""
-    per_user = train.groupBy("user").agg(F.collect_set("item").alias("items"))
+    # sort_array: collect_set order follows partition layout, and
+    # _sgd_block draws positives by POSITION — sorting makes the draw a
+    # pure function of (data, seed)
+    per_user = train.groupBy("user").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
 
     if social is not None:
         # one deterministic friend per (user, epoch-independent) — the
@@ -156,7 +168,7 @@ def bpr_train(
         w = Window.partitionBy("user").orderBy(F.xxhash64("friend", F.lit(seed)))
         fr1 = fr.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
         f_items = train.groupBy(F.col("user").alias("friend")).agg(
-            F.collect_set("item").alias("friend_items")
+            F.sort_array(F.collect_set("item")).alias("friend_items")
         )
         per_user = per_user.join(
             fr1.select("user", "friend"), "user", "left"
@@ -206,6 +218,15 @@ def bpr_train(
         # parameter averaging (Zinkevich et al.): Q_new = mean_b(Q_b) =
         # Q + mean(deltas). Summing instead multiplies every shared item's
         # step by n_blocks and oscillates (measured: AUC stalls at ~0.3)
+        #
+        # apply in a TOTAL deterministic order: the same item can receive
+        # deltas from several blocks and float addition is order-sensitive,
+        # while toPandas row order follows task completion order. (kind,
+        # idx, vec) is a total key because per (block, kind, idx) the vec
+        # is unique.
+        deltas = deltas.assign(__k=deltas["vec"].map(tuple)).sort_values(
+            ["kind", "idx", "__k"]
+        )
         Q = Q.copy()
         B = B.copy()
         for r in deltas.itertuples():
@@ -239,9 +260,13 @@ def bpr_evaluate(
     become the standard leave-one-out sampled variants (rank within the
     K+1 candidate set)."""
     per_user = (
-        train.groupBy("user").agg(F.collect_set("item").alias("items"))
+        train.groupBy("user").agg(
+            F.sort_array(F.collect_set("item")).alias("items")
+        )
         .join(
-            test.groupBy("user").agg(F.collect_set("item").alias("test_items")),
+            test.groupBy("user").agg(
+                F.sort_array(F.collect_set("item")).alias("test_items")
+            ),
             "user",
             "left",
         )
@@ -252,6 +277,9 @@ def bpr_evaluate(
 
     def solve_sampled(pdf: pd.DataFrame) -> pd.DataFrame:
         K = sampled_negatives
+        # sort: per-group float accumulation order must not depend on
+        # shuffle fetch order (same reasoning as _sgd_block)
+        pdf = pdf.sort_values("user").reset_index(drop=True)
         hr, rr, auc, active = 0, 0.0, 0.0, 0
         for r in pdf.itertuples():
             pu = np.array(r.factors)
@@ -291,6 +319,7 @@ def bpr_evaluate(
         )
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("user").reset_index(drop=True)
         hr, rr, auc, active = 0, 0.0, 0.0, 0
         for r in pdf.itertuples():
             pu = np.array(r.factors)

@@ -117,6 +117,21 @@ def main() -> None:
     verify_g7_against_numpy(spark)
     print("g7_pic: independent NumPy partition check OK")
 
+    # mm_* oracles are verified straight from the seeded SOURCE arrays —
+    # no encoder or decoder in the loop (only the documented 16-bit PCM
+    # quantization formula for audio) — so a decode bug present at
+    # generation time cannot become golden.
+    verify_mm_against_source()
+    print("mm_image/audio/video_stats: independent source-array check OK")
+
+    # lp_bpr_metrics: re-execute the training SEQUENTIALLY on the driver
+    # (same seeds, block partition fetched from Spark's xxhash64) and
+    # recompute the sampled metrics in plain NumPy — verifies that the
+    # distributed orchestration (applyInPandas grouping, delta averaging
+    # order) didn't shape the golden numbers.
+    verify_lp_sequential(spark)
+    print("lp_bpr_metrics: sequential re-execution check OK")
+
 
 def verify_g7_against_numpy(spark) -> None:
     import numpy as np
@@ -186,6 +201,188 @@ def verify_g7_against_numpy(spark) -> None:
     assert got == want, (
         f"g7 VALUES oracle partition != independent NumPy PIC:\n"
         f" oracle={got}\n numpy ={want}")
+
+
+def _oracle_rows(gate: str):
+    sql = json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "values_oracles.json")))[gate]
+    rel = duckdb.sql(sql)
+    return rel.columns, rel.fetchall()
+
+
+def _close(a, b, tol=1.5e-6) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        return a is not None and b is not None and abs(a - b) <= tol
+    return a == b
+
+
+def verify_mm_against_source() -> None:
+    """Expected stats computed from the seeded source arrays directly."""
+    import hashlib
+
+    import numpy as np
+
+    # image gate: 16 seeded RGB arrays, stats must round-trip exactly
+    names, rows = _oracle_rows("mm_image_stats")
+    got = {r[names.index("media_id")]: r for r in rows}
+    for i in range(16):
+        img = np.random.default_rng(i).integers(
+            0, 256, (8 + i % 5, 12 + i % 3, 3), dtype=np.uint8
+        )
+        want = (i, 12 + i % 3, 8 + i % 5, 3, round(float(img.mean()), 6),
+                hashlib.sha256(img.tobytes()).hexdigest())
+        r = got[i]
+        g = tuple(r[names.index(c)] for c in
+                  ("media_id", "width", "height", "channels",
+                   "mean_intensity", "pixel_sha"))
+        assert all(_close(a, b) for a, b in zip(g, want)), (g, want)
+
+    # audio gate: source floats → documented 16-bit PCM quantization
+    names, rows = _oracle_rows("mm_audio_stats")
+    got = {r[names.index("media_id")]: r for r in rows}
+    for i in range(12):
+        rng = np.random.default_rng(100 + i)
+        x = rng.uniform(-0.7, 0.7, (500 + 50 * i, 1 + i % 2))
+        q = np.clip(x * 32768.0, -32768, 32767).astype("<i2") / 32768.0
+        rate = 8000 * (1 + i % 2)
+        want = (i, rate, 1 + i % 2, 500 + 50 * i,
+                round(1000.0 * (500 + 50 * i) / rate, 6),
+                round(float(np.sqrt((q ** 2).mean())), 6),
+                round(float(np.abs(q).max()), 6))
+        r = got[i]
+        g = tuple(r[names.index(c)] for c in
+                  ("media_id", "sample_rate", "n_channels", "n_frames",
+                   "duration_ms", "rms", "peak"))
+        assert all(_close(a, b) for a, b in zip(g, want)), (g, want)
+
+    # video gate: luma planes are the source array itself
+    names, rows = _oracle_rows("mm_video_stats")
+    got = {r[names.index("media_id")]: r for r in rows}
+    for i in range(10):
+        rng = np.random.default_rng(200 + i)
+        frames = rng.integers(
+            0, 256, (3 + i % 4, 6 + i % 3, 8 + i % 5), dtype=np.uint8
+        )
+        want = (i, 8 + i % 5, 6 + i % 3, 3 + i % 4, 10.0,
+                round(1000.0 * (3 + i % 4) / 10.0, 6),
+                round(float(frames.mean()), 6),
+                hashlib.sha256(frames.tobytes()).hexdigest())
+        r = got[i]
+        g = tuple(r[names.index(c)] for c in
+                  ("media_id", "width", "height", "n_frames", "fps",
+                   "duration_ms", "mean_luma", "luma_sha"))
+        assert all(_close(a, b) for a, b in zip(g, want)), (g, want)
+
+
+def verify_lp_sequential(spark) -> None:
+    """Sequential driver-side re-execution of the lp gate's training
+    (same block partition + seeds, no applyInPandas / toPandas in the
+    loop) + plain-NumPy sampled evaluation; metrics must equal the
+    VALUES oracle to the gate's 9-dp rounding."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.link_prediction import _init_factors, _sgd_block
+
+    n_items, k, epochs, steps, n_blocks, seed = 24, 6, 2, 30, 4, 3
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(F.col("o_custkey") < 60)
+    inter = o.select(
+        F.col("o_custkey").cast("long").alias("user"),
+        F.pmod(F.col("o_orderkey"), F.lit(24)).cast("long").alias("item"),
+    ).dropDuplicates()
+    test_df = inter.filter(F.pmod(F.col("user") + F.col("item"), F.lit(5)) == 0)
+    train_df = inter.subtract(test_df)
+    train = sorted((int(r.user), int(r.item)) for r in train_df.collect())
+    test = sorted((int(r.user), int(r.item)) for r in test_df.collect())
+
+    users = sorted({u for u, _ in train})
+    items_of: dict[int, list[int]] = {}
+    for u, it in train:
+        items_of.setdefault(u, []).append(it)
+    # block ids per epoch come from Spark's xxhash64, fetched once
+    u_df = spark.createDataFrame([(u,) for u in users], ["user"])
+    blocks = {}
+    for ep in range(epochs):
+        blocks[ep] = {
+            int(r.user): int(r.b)
+            for r in u_df.select(
+                "user",
+                F.pmod(F.xxhash64("user", F.lit(ep)), F.lit(n_blocks)).alias("b"),
+            ).collect()
+        }
+
+    P = {
+        u: np.random.default_rng(seed * 100003 + u).normal(0.0, 0.1, k)
+        for u in users
+    }
+    Q = _init_factors(n_items, k, seed + 1)
+    B = _init_factors(n_items, 1, seed + 2)[:, 0]
+    for ep in range(epochs):
+        ep_seed = seed + 7919 * (ep + 1)
+        all_deltas = []
+        newP = {}
+        for b in range(n_blocks):
+            bu = [u for u in users if blocks[ep][u] == b]
+            if not bu:
+                continue
+            pdf = pd.DataFrame({
+                "user": bu,
+                "items": [sorted(set(items_of[u])) for u in bu],
+                "friend_items": [None] * len(bu),
+                "factors": [P[u].tolist() for u in bu],
+            })
+            out = _sgd_block(pdf, Q, B, n_items, 0.02, 0.005, steps, ep_seed)
+            for r in out.itertuples():
+                if r.kind == 0:
+                    newP[int(r.idx)] = np.array(r.vec)
+                else:
+                    all_deltas.append((r.kind, int(r.idx), tuple(r.vec)))
+        P = newP
+        for kind, idx, vec in sorted(all_deltas):
+            if kind == 1:
+                Q[idx] += np.array(vec) / n_blocks
+            else:
+                B[idx] += vec[0] / n_blocks
+
+    # sampled evaluation, plain NumPy (top_n=5, K=12, seed=17)
+    K, top_n, eseed = 12, 5, 17
+    test_of: dict[int, list[int]] = {}
+    for u, it in test:
+        test_of.setdefault(u, []).append(it)
+    hr, rr, auc, active = 0, 0.0, 0.0, 0
+    for u in sorted(test_of):
+        pu = P.get(u)
+        if pu is None:
+            continue
+        excl = set(items_of.get(u, ())) | set(test_of[u])
+        for t in sorted(test_of[u]):
+            rng = np.random.default_rng((eseed, u, t))
+            negs: list[int] = []
+            while len(negs) < K:
+                cand = rng.integers(0, n_items, 4 * K)
+                negs.extend(int(c) for c in cand if int(c) not in excl)
+                if len(excl) >= n_items:
+                    break
+            if not negs:
+                continue
+            na = np.array(negs[:K], dtype=np.int64)
+            st = float(Q[t] @ pu + B[t])
+            sn = Q[na] @ pu + B[na]
+            below = (sn < st) | ((sn == st) & (na > t))
+            active += 1
+            auc += float(below.sum()) / len(na)
+            rank = 1 + int((~below).sum())
+            if rank <= top_n:
+                hr += 1
+                rr += 1.0 / rank
+    want = (round(hr / max(len(test), 1), 9),
+            round(rr / max(len(test), 1), 9),
+            round(auc / max(active, 1), 9))
+    names, rows = _oracle_rows("lp_bpr_metrics")
+    got = tuple(rows[0][names.index(c)] for c in ("hr", "arhr", "auc"))
+    assert all(_close(a, b, 1e-9) for a, b in zip(got, want)), (got, want)
 
 
 if __name__ == "__main__":

@@ -70,14 +70,25 @@ def test_bpr_social_update_runs(spark, block_data):
 
 
 def test_bpr_deterministic(spark, block_data):
+    """Training must be a pure function of (data, seed) — in particular
+    independent of partition LAYOUT: the two runs use different
+    spark.sql.shuffle.partitions, which changes applyInPandas group row
+    order and toPandas delta arrival order (the round-3 driver failure
+    mode for lp_bpr_metrics)."""
     train, _ = block_data
-    P1, Q1, B1 = bpr_train(spark, train, n_items=20, epochs=1,
-                           steps_per_user=20, k=4, seed=9)
-    P2, Q2, B2 = bpr_train(spark, train, n_items=20, epochs=1,
-                           steps_per_user=20, k=4, seed=9)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        P1, Q1, B1 = bpr_train(spark, train.repartition(3), n_items=20,
+                               epochs=1, steps_per_user=20, k=4, seed=9)
+        f1 = {r.user: tuple(r.factors) for r in P1.collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        P2, Q2, B2 = bpr_train(spark, train.repartition(13), n_items=20,
+                               epochs=1, steps_per_user=20, k=4, seed=9)
+        f2 = {r.user: tuple(r.factors) for r in P2.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     assert (Q1 == Q2).all() and (B1 == B2).all()
-    f1 = {r.user: tuple(r.factors) for r in P1.collect()}
-    f2 = {r.user: tuple(r.factors) for r in P2.collect()}
     assert f1 == f2
 
 
