@@ -61,43 +61,74 @@ def edge_label_multiset(edges: DataFrame) -> DataFrame:
 
 
 def two_edge_signatures(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """A6 (getGraphDistributions.scala:69-120): typed 2-edge signature
-    histogram — A→B→C chains and A←B→C forks via one self-join on the
-    shared vertex."""
+    """A6 (getGraphDistributions.scala:69-146): typed 2-edge signature
+    histogram — A→B→C chains and A←B→C forks.
+
+    The reference collects every incident edge signature per vertex and
+    pairs them i<j (flatMap over the per-vertex list). A literal
+    re-expression is a self-join on the shared vertex — O(deg²) per
+    vertex, which materializes 10¹² pairs for one 10⁶-degree celebrity
+    at web scale. Since only the HISTOGRAM survives, the pairs are never
+    needed: aggregate per-vertex typed-edge-group counts c_g (bounded by
+    |preds|·|labels|, not by degree) and emit pair counts combinatorially —
+    c_i·c_j across groups, C(c,2) within a group. One extra narrow shuffle,
+    zero pair materialization, identical histogram.
+
+    Pair orientation within a signature is canonicalized by (pred, dst_t)
+    — type-level and deterministic. (The reference's own orientation is
+    the GraphX aggregation-list order, which is partition-layout
+    nondeterministic; within-group C(c,2) pairs instance duplicates the
+    same way the reference's i<j loop does.)
+    """
     v = vertices.select(F.col("id"), F.col("label").alias("vlabel"))
     typed = (
         edges.join(v.withColumnRenamed("id", "src").withColumnRenamed("vlabel", "src_t"), "src")
         .join(v.withColumnRenamed("id", "dst").withColumnRenamed("vlabel", "dst_t"), "dst")
         .select("src", "dst", "pred", "src_t", "dst_t")
     )
-    a = typed.alias("a")
-    b = typed.alias("b")
+    # per-vertex typed group counts; src_t (resp. dst_t) is constant per
+    # vertex so carrying it through the groupBy adds no keys
+    out_g = typed.groupBy("src", "src_t", "pred", "dst_t").agg(
+        F.count("*").alias("c")
+    )
+    in_g = typed.groupBy("dst", "dst_t", "src_t", "pred").agg(
+        F.count("*").alias("c")
+    )
     chains = (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
+        in_g.withColumnRenamed("dst", "vid").alias("i")
+        .join(out_g.withColumnRenamed("src", "vid").alias("o"), "vid")
         .select(
             F.concat_ws(
-                ">", F.col("a.src_t"), F.col("a.pred"), F.col("a.dst_t"),
-                F.col("b.pred"), F.col("b.dst_t"),
-            ).alias("sig")
+                ">", F.col("i.src_t"), F.col("i.pred"), F.col("i.dst_t"),
+                F.col("o.pred"), F.col("o.dst_t"),
+            ).alias("sig"),
+            (F.col("i.c") * F.col("o.c")).alias("cnt"),
         )
         .withColumn("shape", F.lit("chain"))
     )
-    # each unordered fork {e_i, e_j} is emitted exactly once: strict order
-    # on (pred, dst) so equal-pred forks aren't double-counted relative to
-    # distinct-pred ones (the reference pairs incident edges once per i<j)
-    forks = (
-        a.join(b, (F.col("a.src") == F.col("b.src"))
+    og = out_g.withColumnRenamed("src", "vid")
+    a, b = og.alias("a"), og.alias("b")
+    cross = (
+        a.join(b, (F.col("a.vid") == F.col("b.vid"))
                & ((F.col("a.pred") < F.col("b.pred"))
                   | ((F.col("a.pred") == F.col("b.pred"))
-                     & (F.col("a.dst") < F.col("b.dst")))))
+                     & (F.col("a.dst_t") < F.col("b.dst_t")))))
         .select(
             F.concat_ws(
                 "<", F.col("a.dst_t"), F.col("a.pred"), F.col("a.src_t"),
                 F.col("b.pred"), F.col("b.dst_t"),
-            ).alias("sig")
+            ).alias("sig"),
+            (F.col("a.c") * F.col("b.c")).alias("cnt"),
         )
-        .withColumn("shape", F.lit("fork"))
     )
+    within = og.filter(F.col("c") >= 2).select(
+        F.concat_ws(
+            "<", F.col("dst_t"), F.col("pred"), F.col("src_t"),
+            F.col("pred"), F.col("dst_t"),
+        ).alias("sig"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cnt"),
+    )
+    forks = cross.unionByName(within).withColumn("shape", F.lit("fork"))
     return chains.unionByName(forks).groupBy("shape", "sig").agg(
-        F.count("*").alias("cnt")
+        F.sum("cnt").alias("cnt")
     )

@@ -97,3 +97,71 @@ def test_two_edge_signatures(spark):
     )
     sigs = {(r.shape, r.sig): r.cnt for r in two_edge_signatures(e, v).collect()}
     assert ("chain", "person>lives_in>city>in_country>country") in sigs
+
+
+def test_two_edge_signatures_bruteforce(spark):
+    """Pin the combinatorial rewrite against a brute-force pairing of edge
+    INSTANCES (the reference's i<j loop, getGraphDistributions.scala:
+    110-146) on a random typed multigraph with duplicate edges and
+    self-loops."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    labels = ["person", "org", "place"]
+    preds = ["a", "b"]
+    vs = [(i, labels[i % 3]) for i in range(12)]
+    lab = dict(vs)
+    es = [
+        (rnd.randrange(12), rnd.randrange(12), rnd.choice(preds))
+        for _ in range(60)
+    ]
+    es += es[:5]  # duplicate instances
+    es.append((3, 3, "a"))  # self-loop
+
+    want: dict[tuple, int] = {}
+    # chains: every (in-edge, out-edge) pair at the shared vertex
+    for (s1, d1, p1), (s2, d2, p2) in itertools.product(es, es):
+        if d1 == s2:
+            sig = ">".join([lab[s1], p1, lab[d1], p2, lab[d2]])
+            want[("chain", sig)] = want.get(("chain", sig), 0) + 1
+    # forks: unordered instance pairs at the shared src, canonical
+    # orientation by (pred, dst_t)
+    for (e1, e2) in itertools.combinations(es, 2):
+        if e1[0] != e2[0]:
+            continue
+        k1 = (e1[2], lab[e1[1]])
+        k2 = (e2[2], lab[e2[1]])
+        a, b = (e1, e2) if k1 <= k2 else (e2, e1)
+        sig = "<".join([lab[a[1]], a[2], lab[a[0]], b[2], lab[b[1]]])
+        want[("fork", sig)] = want.get(("fork", sig), 0) + 1
+
+    v = spark.createDataFrame(vs, ["id", "label"])
+    e = spark.createDataFrame(es, ["src", "dst", "pred"])
+    got = {
+        (r.shape, r.sig): r.cnt for r in two_edge_signatures(e, v).collect()
+    }
+    assert got == want
+
+
+def test_two_edge_signatures_hub_safe(spark):
+    """Scale regression gate: a 40k-degree hub must NOT materialize
+    O(deg²) = 1.6e9 pairs. The combinatorial plan aggregates 2 typed
+    groups for the hub and finishes in seconds; a pair-join regression
+    hangs/OOMs this test."""
+    n = 40_000
+    v = spark.createDataFrame(
+        [(0, "hub")] + [(i, "leaf" if i % 2 else "node") for i in range(1, n + 1)],
+        ["id", "label"],
+    )
+    e = spark.createDataFrame(
+        [(0, i, "p") for i in range(1, n + 1)], ["src", "dst", "pred"]
+    )
+    got = {
+        (r.shape, r.sig): r.cnt for r in two_edge_signatures(e, v).collect()
+    }
+    half = n // 2
+    assert got[("fork", "leaf<p<hub<p<node")] == half * half
+    assert got[("fork", "leaf<p<hub<p<leaf")] == half * (half - 1) // 2
+    assert got[("fork", "node<p<hub<p<node")] == half * (half - 1) // 2
+    assert ("chain", "hub>p>leaf>p>hub") not in got
