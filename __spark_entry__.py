@@ -1477,17 +1477,25 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT DISTINCT line FROM raw
                   WHERE length(line) > 0
                     AND NOT starts_with(line, '#')
-                    AND NOT starts_with(line, '@')),
-            p AS (SELECT string_split(line, chr(9)) AS parts FROM v
-                  WHERE len(string_split(line, chr(9))) IN (3, 4)),
-            m AS (SELECT replace(trim(parts[1]), ',', ';') AS s0,
-                         replace(trim(parts[2]), ',', ';') AS pred,
-                         replace(trim(parts[3]), ',', ';') AS o0
+                    AND NOT starts_with(line, '@')
+                    AND NOT starts_with(line, '3210#')),
+            m AS (SELECT regexp_replace(
+                           replace(replace(replace(lower(line), '<', ''),
+                                           '>', ''), ' .', ''),
+                           '\\t+$', '') AS ml FROM v),
+            p AS (SELECT string_split(ml, chr(9)) AS parts,
+                         len(string_split(ml, chr(9))) AS n FROM m),
+            f AS (SELECT n,
+                         replace(regexp_replace(regexp_replace(parts[1], '^ ', ''), ' $', ''), ',', ';') AS s0,
+                         replace(regexp_replace(regexp_replace(parts[2], '^ ', ''), ' $', ''), ',', ';') AS p0,
+                         replace(regexp_replace(regexp_replace(parts[3], '^ ', ''), ' $', ''), ',', ';') AS o0
                   FROM p)
-            SELECT CASE WHEN s0 = 'drones' THEN 'drone' ELSE s0 END AS subj,
-                   pred,
-                   CASE WHEN o0 = 'drones' THEN 'drone' ELSE o0 END AS obj
-            FROM m
+            SELECT CASE WHEN n NOT IN (3, 4) THEN 'None'
+                        WHEN s0 = 'drones' THEN 'drone' ELSE s0 END AS subj,
+                   CASE WHEN n NOT IN (3, 4) THEN 'None' ELSE p0 END AS pred,
+                   CASE WHEN n NOT IN (3, 4) THEN 'None'
+                        WHEN o0 = 'drones' THEN 'drone' ELSE o0 END AS obj
+            FROM f
         """,
         "str_stateful_window": """
             WITH pb AS (SELECT event_type AS pattern_key,

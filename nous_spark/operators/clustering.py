@@ -115,11 +115,16 @@ def power_iteration_clustering(
     # instead of one Spark job per round. Past the cap (web-scale vertex
     # sets) the distributed per-round aggregate below runs instead; both
     # paths use the same argmin-first tie-break as the final assignment.
-    vals = [r.v for r in v.select("v").limit(_KMEANS_DRIVER_CAP + 1).collect()]
-    if len(vals) <= _KMEANS_DRIVER_CAP:
-        import numpy as np
+    # Arrow-batched toPandas: ~8 bytes/row on the driver (a plain collect
+    # of Row objects is ~100 bytes/row — hundreds of MB at the 4M cap)
+    import numpy as np
 
-        arr = np.asarray(vals, dtype=np.float64)
+    vals = (
+        v.select("v").limit(_KMEANS_DRIVER_CAP + 1).toPandas()["v"]
+        .to_numpy(dtype=np.float64)
+    )
+    if len(vals) <= _KMEANS_DRIVER_CAP:
+        arr = vals
         for _ in range(kmeans_iter):
             c = np.asarray(centroids)
             assign = np.argmin(np.abs(arr[:, None] - c[None, :]), axis=1)

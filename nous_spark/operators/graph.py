@@ -236,16 +236,20 @@ def connected_components(
         # the convergence check below is a narrow scan of the checkpointed
         # blocks, not a join — one fewer shuffle job per round), plus each
         # neighbor's current component
+        # __old must keep the id column's own type: a hard-coded long cast
+        # NULLs out string vertex ids (the alias-graph use case), making
+        # every row look changed-then-converged after one round
+        id_type = comp.schema["component"].dataType
         nbr = (
             sym.join(comp.withColumnRenamed("id", "b"), "b")
             .select(
                 F.col("a").alias("id"), F.col("component").alias("__cand"),
-                F.lit(None).cast("long").alias("__old"),
+                F.lit(None).cast(id_type).alias("__old"),
             )
         )
         mine = comp.select(
             "id", F.col("component").alias("__cand"),
-            F.col("component").cast("long").alias("__old"),
+            F.col("component").alias("__old"),
         )
         new_comp = (
             mine.unionAll(nbr)

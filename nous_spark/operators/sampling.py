@@ -107,28 +107,42 @@ def sample_and_hold_v2(
     first touch (BOTH endpoints fresh, the reference's else-branch) at p,
     non-touching edges always kept. rdf:type edges are skipped entirely
     (:217 processes only non-type triplets and never writes them — unlike
-    V1, which always keeps them). Distributed re-expression: "first touch"
-    = the edge is rank-1 in the deterministic (src, dst, pred) ordering for
-    BOTH of its endpoints; the remaining approximation (the reference's
-    visited set is stream-order, ours is per-endpoint rank over all edges
-    including non-touching ones, matching :230-234 which marks every
-    processed edge's endpoints visited) is role-agnostic by design."""
+    V1, which always keeps them). Distributed re-expression: the stream is
+    canonicalized to (src, dst, pred) order, and "first touch" = the edge
+    is the FIRST edge incident to each of its endpoints across BOTH roles
+    (a node previously seen as dst is visited when it reappears as src,
+    exactly like the reference's single visitedNodes set, :230-234, which
+    marks every processed edge's endpoints including non-touching ones).
+    Duplicate (src, dst, pred) instances share first-touch status — the
+    one key-level approximation left."""
     if type_pred is not None:
         edges = edges.filter(F.col("pred") != type_pred)
     t = _flag_touching(edges, filtered_v)
-    order = [F.col("src"), F.col("dst"), F.col("pred")]
-    w_src = Window.partitionBy("src").orderBy(*order)
-    w_dst = Window.partitionBy("dst").orderBy(*order)
+    # per-node first incident edge over the union of both roles
+    app = t.select(F.col("src").alias("__node"), "src", "dst", "pred").unionByName(
+        t.select(F.col("dst").alias("__node"), "src", "dst", "pred")
+    )
+    w = Window.partitionBy("__node").orderBy("src", "dst", "pred")
+    firsts = (
+        app.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .groupBy("src", "dst", "pred")
+        .agg(F.count_distinct("__node").alias("__nf"))
+    )
     t = (
-        t.withColumn("__r1", F.row_number().over(w_src))
-        .withColumn("__r2", F.row_number().over(w_dst))
-        .withColumn("__first", (F.col("__r1") == 1) & (F.col("__r2") == 1))
+        t.join(firsts, ["src", "dst", "pred"], "left")
+        .withColumn(
+            "__first",
+            F.coalesce(F.col("__nf"), F.lit(0))
+            == F.when(F.col("src") == F.col("dst"), 1).otherwise(2),
+        )
+        .drop("__nf")
     )
     u = _uniform(seed, "v2", F.col("src"), F.col("dst"), F.col("pred"))
     keep = F.when(
         ~F.col("__touch"), F.lit(True)
     ).when(F.col("__first"), u <= p).otherwise(u <= q)
-    return t.filter(keep).drop("__touch", "__r1", "__r2", "__first")
+    return t.filter(keep).drop("__touch", "__first")
 
 
 def sample_and_hold_v3(

@@ -37,26 +37,50 @@ def read_triples_tsv(spark: SparkSession, path: str,
 
 def read_triples_las(spark: SparkSession, path: str) -> DataFrame:
     """F12 (ReadHugeGraph.getGraphTimeStampedLAS, ReadHugeGraph.scala:
-    378-409): LAS-dataset triple scan with the reference's munging —
-    distinct valid lines, ',' → ';' inside every field, and the
-    dataset-specific de-pluralization subj/obj 'drones' → 'drone'.
-    Pure column expressions over the S8-style line scan."""
+    378-398, field munging :54-56, validity :98-100): LAS-dataset triple
+    scan, faithful to the reference line for line —
+
+    - valid = non-empty, not starting with '#', '@', or '3210#';
+      DISTINCT over the RAW lines (two case-variant lines both survive
+      and can emit duplicate munged triples)
+    - per line: lowercase, remove every '<' and '>', remove every ' .'
+      occurrence (anywhere, not just a trailing dot), split on tab with
+      Java semantics (trailing empty fields dropped), then strip AT MOST
+      ONE leading and one trailing space per field
+    - 3/4-col lines emit (subj, pred, obj) with ','→';' in each field and
+      the dataset de-pluralization subj/obj 'drones'→'drone' (applied
+      after the comma munge, like the reference); any other width emits
+      the reference's ('None','None','None') sentinel triple
+
+    Pure column expressions — one scan, no UDFs."""
     lines = spark.read.text(path).withColumnRenamed("value", "line")
     c = F.col("line")
     valid = lines.filter(
         (F.length(c) > 0) & ~c.startswith("#") & ~c.startswith("@")
+        & ~c.startswith("3210#")
     ).distinct()
-    parts = F.split(c, "\t")
-    ok = valid.filter(F.size(parts).isin(3, 4))
+    m = F.lower(c)
+    m = F.replace(m, F.lit("<"), F.lit(""))
+    m = F.replace(m, F.lit(">"), F.lit(""))
+    m = F.replace(m, F.lit(" ."), F.lit(""))
+    # Java's split drops trailing empty fields; Spark keeps them — dropping
+    # trailing tabs before the split reproduces the Java field count
+    parts = F.split(F.regexp_replace(m, "\t+$", ""), "\t")
 
-    def munge(col):
-        cleaned = F.replace(F.trim(col), F.lit(","), F.lit(";"))
-        return F.when(cleaned == "drones", F.lit("drone")).otherwise(cleaned)
+    def strip1(col):  # stripPrefix(" ").stripSuffix(" ") — one space max
+        return F.regexp_replace(F.regexp_replace(col, "^ ", ""), " $", "")
 
-    return ok.select(
-        munge(parts[0]).alias("subj"),
-        F.replace(F.trim(parts[1]), F.lit(","), F.lit(";")).alias("pred"),
-        munge(parts[2]).alias("obj"),
+    def comma(col):
+        return F.replace(strip1(col), F.lit(","), F.lit(";"))
+
+    def deplural(col):
+        return F.when(col == "drones", F.lit("drone")).otherwise(col)
+
+    ok = F.size(parts).isin(3, 4)
+    return valid.select(
+        F.when(ok, deplural(comma(parts[0]))).otherwise(F.lit("None")).alias("subj"),
+        F.when(ok, comma(parts[1])).otherwise(F.lit("None")).alias("pred"),
+        F.when(ok, deplural(comma(parts[2]))).otherwise(F.lit("None")).alias("obj"),
     )
 
 

@@ -165,3 +165,19 @@ def test_two_edge_signatures_hub_safe(spark):
     assert got[("fork", "leaf<p<hub<p<leaf")] == half * (half - 1) // 2
     assert got[("fork", "node<p<hub<p<node")] == half * (half - 1) // 2
     assert ("chain", "hub>p>leaf>p>hub") not in got
+
+
+def test_connected_components_string_ids(spark):
+    """String vertex ids (alias-graph canonicalization): the convergence
+    check must compare components in the id column's own type — a long
+    cast NULLs strings and freezes the loop after one round, which a
+    >2-hop chain exposes."""
+    from nous_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["src", "dst"],
+    )
+    comp = {r.id: r.component for r in connected_components(e).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                    "x": "x", "y": "x"}

@@ -258,11 +258,27 @@ def test_read_triples_las_munging(spark, tmp_path):
         "drones\tcarries,payload\tcamera, lens\n"   # duplicate line dropped
         "base\tlaunches\tdrones\n"
         "# comment\n"
-        "too\tfew\n"
+        "3210#counter\n"                             # reference validity :99
+        "too\tfew\n"                                 # -> None sentinel triple
+        "<Drones>\tSEES\ttarget .\n"                 # lowercase + <> + ' .'
+        "  pad  \t one \tx\n"                        # strip ONE space/side
+        "a\tb\tc\t\t\n"                              # Java trailing-split
+        "Case\td\te\n"
+        "case\td\te\n"                               # raw-distinct keeps both
     )
-    got = {(r.subj, r.pred, r.obj) for r in read_triples_las(spark, str(p)).collect()}
-    # ','→';' in every field; subj/obj 'drones'→'drone'; pred untouched
-    assert got == {
+    got = sorted(
+        (r.subj, r.pred, r.obj) for r in read_triples_las(spark, str(p)).collect()
+    )
+    # getFieldsFromLine (ReadHugeGraph.scala:54-56): lowercase, strip <>,
+    # remove ' .', one-space strip; then ','→';', drones→drone; non-3/4-col
+    # lines emit the reference's ('None','None','None') sentinel
+    assert got == sorted([
         ("drone", "carries;payload", "camera; lens"),
         ("base", "launches", "drone"),
-    }
+        ("None", "None", "None"),
+        ("drone", "sees", "target"),
+        (" pad ", "one", "x"),
+        ("a", "b", "c"),
+        ("case", "d", "e"),
+        ("case", "d", "e"),
+    ])

@@ -149,3 +149,25 @@ def test_v1_keep_rate(spark):
     kept = sample_and_hold_v1(e, fv, q=q, p=p, seed=11, type_pred=None).count()
     expect = (q + (1 - q) * p) * 2000
     assert abs(kept - expect) < 0.05 * 2000
+
+
+def test_v2_visited_marking_is_role_agnostic(spark):
+    """A node visited as DST earlier in the canonical stream is no longer
+    fresh when it reappears as SRC: (1,5) precedes (5,9) in (src,dst,pred)
+    order, so 5 is visited by the time (5,9) streams — (5,9) must take the
+    q-branch even though it is 5's first appearance AS A SOURCE (the
+    round-3 per-role ranking held it at p)."""
+    e = spark.createDataFrame([(1, 5, "e1"), (5, 9, "e2")], ["src", "dst", "pred"])
+    fv = spark.createDataFrame([(5,)], ["id"])
+    kept_p = {
+        r.pred
+        for r in sample_and_hold_v2(e, fv, q=0.0, p=1.0, seed=3,
+                                    type_pred=None).collect()
+    }
+    assert kept_p == {"e1"}
+    kept_q = {
+        r.pred
+        for r in sample_and_hold_v2(e, fv, q=1.0, p=0.0, seed=3,
+                                    type_pred=None).collect()
+    }
+    assert kept_q == {"e2"}
