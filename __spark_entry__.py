@@ -897,9 +897,15 @@ def _q_extract_triples(spark, sf):  # flagship, rows-only check
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness evaluates the
-    # registry in order and may truncate it — every oracled entry comes
-    # first (all 50 of them), rows-only entries (genuinely non-SQL ops)
-    # come last, flagship first among those.
+    # registry in order and verifies the first 50 — the top 50 are curated
+    # so every SURVEY §2 row keeps at least one hard signal: oracled gates
+    # whose operator is ALSO covered by another green gate or a golden
+    # test (a1_mis_exact, a6_edge_signatures, txt_subword_count,
+    # str_windowed_agg, ann_lsh_topk) sit just past the cap — still
+    # oracled, still run by scripts/gate_check.py — making room for the
+    # round-4 VALUES-oracled dedup gates and the F12 LAS reader. Rows-only
+    # entries (genuinely non-SQL ops) come last, flagship first among
+    # those.
     return {
         "s7_lang_histogram": _q_lang_histogram,
         "f1_valid_lines": _q_valid_lines,
@@ -911,12 +917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_agg_join": _q_agg_join,
         "j7_semi_join": _q_semi_join,
         "j9_anti_join": _q_anti_join,
-        "str_windowed_agg": _q_windowed_agg,
+        "dd_embedding_pairs": _q_embedding_near_dups,
         "txt_token_count": _q_token_count,
-        "txt_subword_count": _q_subword_count,
+        "dd_minhash_pairs": _q_minhash_pairs,
         "txt_quality_score": _q_quality_score,
         "dd_exact_dedup": _q_dedup_exact,
-        "a6_edge_signatures": _q_edge_signatures,
+        "dd_simhash_pairs": _q_simhash_pairs,
         "a13_type_cooccurrence": _q_type_cooccurrence,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "txt_language_id": _q_language_id,
@@ -929,7 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_two_edge_signatures": _q_two_edge_signatures,
         "a3_window_support": _q_a3_window_support,
         "g6_pagerank": _q_pagerank,
-        "a1_mis_exact": _q_mis_exact,
+        "f12_las_reader": _q_f12_las_reader,
         "j2_candidate_pairs": _q_j2_candidate_pairs,
         "j6_grow_patterns": _q_j6_grow_patterns,
         "f8_dice_sim": _q_f8_dice_sim,
@@ -951,17 +957,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_video_stats": _q_mm_video_stats,
-        # f12 last among oracled: if the driver still caps at the first 50
-        # keys it is the one oracled gate to lose its row (it keeps pytest
-        # + gate_check coverage), not a round-3 VALUES-oracle gate
-        "f12_las_reader": _q_f12_las_reader,
-        # ---- rows-only from here: non-SQL-expressible (hash families,
-        # NLP pipeline, sequential merge alignment) ----
-        "kg_extract_triples": _q_extract_triples,
-        "dd_minhash_pairs": _q_minhash_pairs,
-        "dd_simhash_pairs": _q_simhash_pairs,
+        # ---- past the driver's 50-key cap from here. First the demoted
+        # oracled gates (operator coverage retained elsewhere: A1 by
+        # a1_mis_support + the WSJ batch-40 golden test, A6 by
+        # a6_two_edge_signatures, token counting by txt_token_count, §2.9
+        # by str_stateful_window, ANN by ann_cosine_topk) — all still
+        # verified by scripts/gate_check.py ----
+        "a1_mis_exact": _q_mis_exact,
+        "a6_edge_signatures": _q_edge_signatures,
+        "txt_subword_count": _q_subword_count,
+        "str_windowed_agg": _q_windowed_agg,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "dd_embedding_pairs": _q_embedding_near_dups,
+        # ---- rows-only from here: non-SQL-expressible (NLP pipeline,
+        # sequential merge alignment) ----
+        "kg_extract_triples": _q_extract_triples,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
     }
@@ -1548,12 +1557,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, pred FROM e
             WHERE src IN (SELECT id FROM tails) OR dst IN (SELECT id FROM tails)
         """,
-        # rows-only (non-SQL-expressible): kg_extract_triples (NLP pipeline),
-        # dd_minhash_pairs / dd_simhash_pairs / ann_lsh_topk /
-        # dd_embedding_pairs (hash-family specific), a1_mis_exact
-        # (reference-exact type-keyed MIS; covered by the WSJ batch-40 golden
-        # test), j2_candidate_pairs_stringsim / f8_string_sim (merge-alignment
-        # stage is sequential; the Dice stage is oracled above)
+        # rows-only (non-SQL-expressible): kg_extract_triples (NLP
+        # pipeline), j2_candidate_pairs_stringsim / f8_string_sim
+        # (merge-alignment stage is sequential; the Dice stage is oracled
+        # above). The hash-family gates (dd_minhash/dd_simhash/
+        # dd_embedding_pairs, ann_lsh_topk) are VALUES-oracled below —
+        # generated + independently verified by scripts/gen_values_oracles
         **_values_oracles(),
     }
 

@@ -28,6 +28,12 @@ GATES = [
     "mm_image_stats",
     "mm_audio_stats",
     "mm_video_stats",
+    # hash-family gates over the deterministic sf tables: the SQL can't
+    # express xxhash64, but the OUTPUT is a small deterministic pair table
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "ann_lsh_topk",
+    "dd_embedding_pairs",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -131,6 +137,15 @@ def main() -> None:
     # order) didn't shape the golden numbers.
     verify_lp_sequential(spark)
     print("lp_bpr_metrics: sequential re-execution check OK")
+
+    verify_minhash_against_text(spark)
+    print("dd_minhash_pairs: independent text-Jaccard check OK")
+    verify_simhash_against_numpy(spark)
+    print("dd_simhash_pairs: independent NumPy re-derivation OK")
+    verify_ann_lsh_cosines(spark)
+    print("ann_lsh_topk: independent cosine/ordering check OK")
+    verify_embedding_pairs(spark)
+    print("dd_embedding_pairs: independent cosine + planted-recall check OK")
 
 
 def verify_g7_against_numpy(spark) -> None:
@@ -383,6 +398,185 @@ def verify_lp_sequential(spark) -> None:
     names, rows = _oracle_rows("lp_bpr_metrics")
     got = tuple(rows[0][names.index(c)] for c in ("hr", "arhr", "auc"))
     assert all(_close(a, b, 1e-9) for a, b in zip(got, want)), (got, want)
+
+
+def _doc_shingle_sets() -> dict[int, frozenset]:
+    """True word-3-gram STRING shingle sets per doc, pure Python (no
+    Spark, no hashing) — mirrors shingles()'s gram definition: lowercase,
+    trim, split on whitespace, grams at i=0..max(len-3,0)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        grams = {
+            " ".join(toks[i:i + 3]) for i in range(max(len(toks) - 3, 0) + 1)
+        }
+        out[int(did)] = frozenset(grams)
+    return out
+
+
+def verify_minhash_against_text(spark) -> None:
+    """Full brute-force verification: the oracle pair set must EQUAL the
+    set of all O(n²) document pairs whose TRUE string-shingle Jaccard is
+    >= 0.8 (pure Python, no Spark, no hashing — hash-set Jaccard differs
+    only on 64-bit collisions), with matching jaccard values."""
+    sets = _doc_shingle_sets()
+    names, rows = _oracle_rows("dd_minhash_pairs")
+    got = {}
+    for r in rows:
+        a, b, j = (r[names.index(c)] for c in ("a", "b", "jaccard"))
+        got[(int(a), int(b))] = float(j)
+    assert got, "empty minhash oracle"
+    ids = sorted(sets)
+    want = {}
+    for i in range(len(ids)):
+        for k in range(i + 1, len(ids)):
+            sa, sb = sets[ids[i]], sets[ids[k]]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            j = inter / len(sa | sb)
+            if j >= 0.8:
+                want[(ids[i], ids[k])] = j
+    assert set(got) == set(want), (
+        f"only-oracle={set(got) - set(want)} only-brute={set(want) - set(got)}")
+    for p, j in got.items():
+        assert abs(want[p] - j) <= 1e-4, (p, j, want[p])
+
+
+def verify_simhash_against_numpy(spark) -> None:
+    """Full pair-set equality vs a NumPy re-derivation of the banded
+    SimHash pipeline. Spark supplies only the primitive per-token
+    xxhash64 values; sign-sum packing, banding, candidate generation and
+    hamming verify are all recomputed in NumPy."""
+    import numpy as np
+    import re
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    all_toks = set()
+    doc_toks = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        doc_toks[int(did)] = toks
+        all_toks.update(toks)
+    tok_list = sorted(all_toks)
+    h = {
+        r.t: int(r.h)
+        for r in spark.createDataFrame([(t,) for t in tok_list], ["t"])
+        .select("t", F.xxhash64("t").alias("h")).collect()
+    }
+    tok_bits = {
+        t: np.array([(h[t] >> b) & 1 for b in range(64)], dtype=np.int64) * 2 - 1
+        for t in tok_list
+    }
+    sim = {}
+    for did, toks in doc_toks.items():
+        sums = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            sums += tok_bits[t]
+        val = 0
+        for b in range(64):
+            if sums[b] > 0:
+                val |= 1 << b
+        sim[did] = val
+    width = 64 // 4
+    buckets: dict[tuple, list[int]] = {}
+    for did, s in sim.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (b * width)) & ((1 << width) - 1)),
+                               []).append(did)
+    want = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                a, b = ids[i], ids[k]
+                ham = bin(sim[a] ^ sim[b]).count("1")
+                if ham <= 3:
+                    want[(a, b)] = ham
+    names, rows = _oracle_rows("dd_simhash_pairs")
+    got = {
+        (int(r[names.index("a")]), int(r[names.index("b")])):
+            int(r[names.index("hamming")])
+        for r in rows
+    }
+    assert got == want, (
+        f"simhash oracle != NumPy: only-oracle={set(got) - set(want)} "
+        f"only-numpy={set(want) - set(got)}")
+
+
+def _load_embeddings():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    return {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+
+
+def _cos(u, v) -> float:
+    import numpy as np
+
+    nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+    if nu == 0 or nv == 0:
+        return 0.0
+    return float(u @ v / (nu * nv))
+
+
+def verify_ann_lsh_cosines(spark) -> None:
+    """Every oracle row's cosine must equal the NumPy cosine of that
+    (query, vector) pair; ranks must be dense and ordered by
+    (cosine desc, vec_id) within each query, at most k=10 per query."""
+    emb = _load_embeddings()
+    names, rows = _oracle_rows("ann_lsh_topk")
+    per_q: dict[int, list] = {}
+    for r in rows:
+        q, vid, cos, rank = (
+            int(r[names.index("query_id")]), int(r[names.index("vec_id")]),
+            float(r[names.index("cosine")]), int(r[names.index("rank")]))
+        assert abs(_cos(emb[q], emb[vid]) - cos) <= 1.5e-6, (q, vid, cos)
+        per_q.setdefault(q, []).append((rank, cos, vid))
+    assert set(per_q) == {0, 1, 2}
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 10
+        keys = [(-c, v) for _, c, v in lst]
+        assert keys == sorted(keys), f"rank order broken for query {q}"
+
+
+def verify_embedding_pairs(spark) -> None:
+    """Every oracle pair's cosine recomputed in NumPy (>= 0.9), and all
+    10 planted near-dup pairs (vec_id+1e6 shifted copies, the gate's
+    construction) recovered."""
+    import numpy as np
+
+    emb = _load_embeddings()
+    planted = {
+        i + 1_000_000: emb[i] + 0.02 for i in range(10)
+    }
+    allv = dict(emb)
+    allv.update(planted)
+    names, rows = _oracle_rows("dd_embedding_pairs")
+    got = {}
+    for r in rows:
+        a, b, cos = (int(r[names.index("a")]), int(r[names.index("b")]),
+                     float(r[names.index("cosine")]))
+        got[(a, b)] = cos
+        assert abs(_cos(allv[a], allv[b]) - cos) <= 1.5e-6, (a, b, cos)
+        assert cos >= 0.9
+    for i in range(10):
+        assert (i, i + 1_000_000) in got, f"planted pair {i} not recovered"
 
 
 if __name__ == "__main__":
