@@ -426,3 +426,398 @@ def read_social_graph(
     if not rows:
         df = df.limit(0)
     return df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Distributed item factors (capability extension beyond the reference, which
+# is single-node: social_BPR.py holds P/Q/B as in-memory ndarrays).
+#
+# The broadcast path above caps the item catalog at driver/executor memory
+# (Q is k·n_items doubles shipped per epoch). At web scale (100M+ items)
+# the factors must live in a DataFrame. The enabling observation: the SGD
+# sampling trace is FACTOR-INDEPENDENT — which (user, pos, social, neg)
+# tuples an epoch visits depends only on the seeded RNG and the purchase
+# sets, never on factor values. So each epoch runs as:
+#
+#   pass A  groupBy(block).applyInPandas  → replay the draw trace, emit the
+#           touched item ids per block (a tiny fraction of the catalog:
+#           ≤ 3·steps_per_user·|block users|)
+#   join    touched ⋈ items               → only touched factor rows move
+#   pass B  cogroup(block: user rows, factor rows).applyInPandas → replay
+#           the SAME trace (same seeds) and apply the gradient updates,
+#           emitting new P rows + per-(block, item) Q/B deltas
+#   apply   deltas folded into the items DataFrame with an ORDERED
+#           aggregate (sorted by block id) so float addition order — and
+#           therefore the whole training — is partition-layout independent
+#
+# Negative sampling is by seeded rejection against the purchase set (O(1)
+# memory) instead of the broadcast path's setdiff materialization (O(n_items)
+# per group — itself unscalable), so the two paths draw different negatives
+# and are compared on metric parity, not bitwise equality.
+# ---------------------------------------------------------------------------
+
+_UPD2_SCHEMA = T.StructType([
+    T.StructField("block", T.IntegerType()),
+    T.StructField("kind", T.IntegerType()),   # 0 = P row, 1 = Q delta, 2 = B delta
+    T.StructField("idx", T.LongType()),
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+])
+
+_TOUCH_SCHEMA = T.StructType([
+    T.StructField("block", T.IntegerType()),
+    T.StructField("item", T.LongType()),
+])
+
+
+def _reject_draw(rng, n_items: int, excl, max_tries: int = 64):
+    for _ in range(max_tries):
+        c = int(rng.integers(n_items))
+        if c not in excl:
+            return c
+    return None
+
+
+def _draw_trace(pdf: pd.DataFrame, n_items: int, steps_per_user: int,
+                seed: int):
+    """Replay the per-block seeded draw sequence WITHOUT factors.
+    pdf must already be sorted by user. Returns (trace, touched): trace =
+    [(u, i, kk, j)] with kk = -1 for non-social steps."""
+    users = pdf["user"].to_numpy()
+    rng = np.random.default_rng(seed + int(users.min()) if len(users) else seed)
+    pur = {r.user: np.array(r.items, dtype=np.int64) for r in pdf.itertuples()}
+    pur_set = {u: set(int(x) for x in a) for u, a in pur.items()}
+    fri = {
+        r.user: (np.array(r.friend_items, dtype=np.int64)
+                 if r.friend_items is not None else None)
+        for r in pdf.itertuples()
+    }
+    trace, touched = [], set()
+    for _ in range(steps_per_user * max(len(users), 1)):
+        u = int(users[rng.integers(len(users))])
+        pos = pur[u]
+        i = int(pos[rng.integers(len(pos))])
+        f = fri[u]
+        did_social = False
+        if f is not None:
+            d1 = np.setdiff1d(f, pos)
+            excl = pur_set[u] | set(int(x) for x in f)
+            if len(d1) and len(excl) < n_items:
+                kk = int(d1[rng.integers(len(d1))])
+                j = _reject_draw(rng, n_items, excl)
+                if j is not None:
+                    trace.append((u, i, kk, j))
+                    touched.update((i, kk, j))
+                    did_social = True
+        if not did_social:
+            if len(pur_set[u]) >= n_items:
+                continue
+            j = _reject_draw(rng, n_items, pur_set[u])
+            if j is None:
+                continue
+            trace.append((u, i, -1, j))
+            touched.update((i, j))
+    return trace, touched
+
+
+def _apply_trace(trace, P: dict, Qd: dict, Bd: dict,
+                 alpha: float, lamda: float) -> None:
+    """Apply the BPR gradient steps of a trace in place. Qd/Bd map item →
+    factor vector / bias for every touched item (same math as _sgd_block,
+    social_BPR.py:198-218)."""
+    def deriv(pu, i, j):
+        r = float(pu @ (Qd[i] - Qd[j]) + Bd[i] - Bd[j])
+        return 1.0 / (1.0 + np.exp(-r)) - 1.0
+
+    for (u, i, kk, j) in trace:
+        pu = P[u]
+        if kk >= 0:
+            g1 = deriv(pu, i, kk)
+            g2 = deriv(pu, kk, j)
+            P[u] = pu - alpha * (g1 * (Qd[i] - Qd[kk]) + g2 * (Qd[kk] - Qd[j])
+                                 + 2 * lamda * pu)
+            Qd[i] = Qd[i] - alpha * (g1 * pu + 2 * lamda * Qd[i])
+            Qd[kk] = Qd[kk] - alpha * (-g1 * pu + g2 * pu + 2 * lamda * Qd[kk])
+            Qd[j] = Qd[j] - alpha * (-g2 * pu + 2 * lamda * Qd[j])
+            Bd[i] = Bd[i] - alpha * (g1 + 2 * lamda * Bd[i])
+            Bd[kk] = Bd[kk] - alpha * (-g1 + g2 + 2 * lamda * Bd[kk])
+            Bd[j] = Bd[j] - alpha * (-g2 + 2 * lamda * Bd[j])
+        else:
+            g = deriv(pu, i, j)
+            P[u] = pu - alpha * (g * (Qd[i] - Qd[j]) + 2 * lamda * pu)
+            Qd[i] = Qd[i] - alpha * (g * pu + 2 * lamda * Qd[i])
+            Qd[j] = Qd[j] - alpha * (-g * pu + 2 * lamda * Qd[j])
+            Bd[i] = Bd[i] - alpha * (g + 2 * lamda * Bd[i])
+            Bd[j] = Bd[j] - alpha * (-g + 2 * lamda * Bd[j])
+
+
+def _prepare_per_user(train: DataFrame, social: DataFrame | None,
+                      seed: int) -> DataFrame:
+    """(user, items sorted, friend_items sorted) — shared by both paths."""
+    per_user = train.groupBy("user").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    if social is not None:
+        from pyspark.sql import Window
+
+        fr = social.select("user", "friend").dropDuplicates()
+        w = Window.partitionBy("user").orderBy(F.xxhash64("friend", F.lit(seed)))
+        fr1 = fr.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        f_items = train.groupBy(F.col("user").alias("friend")).agg(
+            F.sort_array(F.collect_set("item")).alias("friend_items")
+        )
+        per_user = per_user.join(
+            fr1.select("user", "friend"), "user", "left"
+        ).join(f_items, "friend", "left").drop("friend")
+    else:
+        per_user = per_user.withColumn(
+            "friend_items", F.lit(None).cast("array<long>")
+        )
+    return per_user.select(
+        F.col("user").cast("long"),
+        F.col("items").cast("array<long>"),
+        F.col("friend_items").cast("array<long>"),
+    )
+
+
+def bpr_train_distributed(
+    spark: SparkSession,
+    train: DataFrame,
+    n_items: int,
+    social: DataFrame | None = None,
+    k: int = 16,
+    alpha: float = 0.02,
+    lamda: float = 0.005,
+    epochs: int = 5,
+    steps_per_user: int = 100,
+    n_blocks: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """BPR with item factors as a DataFrame — no driver/broadcast copy of
+    the catalog anywhere. Returns (P(user, factors), items(item, qf, b)).
+    Deterministic: same (data, seed) → bitwise-identical factors at any
+    partition layout (ordered delta folds, sorted group frames)."""
+    per_user = _prepare_per_user(train, social, seed).persist()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def init_p(user: pd.Series) -> pd.Series:
+        return user.apply(
+            lambda u: np.random.default_rng(seed * 100003 + int(u))
+            .normal(0.0, 0.1, k).tolist()
+        )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def init_q(item: pd.Series) -> pd.Series:
+        return item.apply(
+            lambda i: np.random.default_rng(seed * 100019 + 7 + int(i))
+            .normal(0.0, 0.1, k).tolist()
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def init_b(item: pd.Series) -> pd.Series:
+        return item.apply(
+            lambda i: float(np.random.default_rng(seed * 100043 + 11 + int(i))
+                            .normal(0.0, 0.1))
+        )
+
+    P = per_user.select("user", init_p("user").alias("factors"))
+    items = spark.range(n_items).select(
+        F.col("id").alias("item"), init_q("id").alias("qf"),
+        init_b("id").alias("b"),
+    ).localCheckpoint(eager=True)
+
+    for epoch in range(epochs):
+        ep_seed = seed + 7919 * (epoch + 1)
+        joined = per_user.join(P, "user").withColumn(
+            "__block",
+            F.pmod(F.xxhash64("user", F.lit(epoch)), F.lit(n_blocks))
+            .cast("int"),
+        ).persist()
+
+        def touch(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("user").reset_index(drop=True)
+            blk = int(pdf["__block"].iloc[0]) if len(pdf) else 0
+            _, touched = _draw_trace(pdf, n_items, steps_per_user, ep_seed)
+            return pd.DataFrame(
+                {"block": blk, "item": sorted(touched)}
+            ) if touched else pd.DataFrame({"block": [], "item": []})
+
+        touched = joined.groupBy("__block").applyInPandas(touch, _TOUCH_SCHEMA)
+        bitems = touched.join(items, "item").select("block", "item", "qf", "b")
+
+        def sgd(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.sort_values("user").reset_index(drop=True)
+            if not len(left):
+                return pd.DataFrame(columns=["block", "kind", "idx", "vec"])
+            blk = int(left["__block"].iloc[0])
+            trace, _ = _draw_trace(left, n_items, steps_per_user, ep_seed)
+            Qd = {
+                int(r.item): np.array(r.qf, dtype=np.float64)
+                for r in right.itertuples()
+            }
+            Bd = {int(r.item): float(r.b) for r in right.itertuples()}
+            Q0 = {i: v.copy() for i, v in Qd.items()}
+            B0 = dict(Bd)
+            P_loc = {
+                r.user: np.array(r.factors, dtype=np.float64)
+                for r in left.itertuples()
+            }
+            _apply_trace(trace, P_loc, Qd, Bd, alpha, lamda)
+            rows = [(blk, 0, int(u), P_loc[u].tolist()) for u in left["user"]]
+            for it in sorted(Qd):
+                dq = Qd[it] - Q0[it]
+                db = Bd[it] - B0[it]
+                if np.abs(dq).sum() + abs(db) != 0.0:
+                    rows.append((blk, 1, it, dq.tolist()))
+                    rows.append((blk, 2, it, [db]))
+            return pd.DataFrame(rows, columns=["block", "kind", "idx", "vec"])
+
+        upd = (
+            joined.groupby("__block")
+            .cogroup(bitems.groupby("block"))
+            .applyInPandas(sgd, _UPD2_SCHEMA)
+            .persist()
+        )
+        P = upd.filter(F.col("kind") == 0).select(
+            F.col("idx").alias("user"), F.col("vec").alias("factors")
+        ).localCheckpoint(eager=True)
+
+        # fold deltas into the item table in BLOCK ORDER (array_sort on the
+        # (block, vec) struct) — float-addition-order independence
+        nb = F.lit(float(n_blocks))
+        dq = upd.filter(F.col("kind") == 1).groupBy(
+            F.col("idx").alias("item")
+        ).agg(F.array_sort(F.collect_list(F.struct("block", "vec"))).alias("qs"))
+        db = upd.filter(F.col("kind") == 2).groupBy(
+            F.col("idx").alias("item")
+        ).agg(F.array_sort(F.collect_list(F.struct("block", "vec"))).alias("bs"))
+        items = (
+            items.join(dq, "item", "left").join(db, "item", "left")
+            .select(
+                "item",
+                F.coalesce(
+                    F.aggregate(
+                        "qs", F.col("qf"),
+                        lambda acc, s: F.zip_with(
+                            acc, s["vec"], lambda a, d: a + d / nb
+                        ),
+                    ),
+                    F.col("qf"),
+                ).alias("qf"),
+                F.coalesce(
+                    F.aggregate(
+                        "bs", F.col("b"),
+                        lambda acc, s: acc + s["vec"][0] / nb,
+                    ),
+                    F.col("b"),
+                ).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        upd.unpersist()
+        joined.unpersist()
+    per_user.unpersist()
+    return P, items
+
+
+def bpr_evaluate_distributed(
+    P: DataFrame, items: DataFrame, train: DataFrame, test: DataFrame,
+    n_items: int, top_n: int = 10, sampled_negatives: int = 50,
+    seed: int = 42,
+) -> dict:
+    """Sampled-negative evaluation against DataFrame item factors: pass A
+    replays the per-(user, test item) negative draws (factor-independent)
+    to emit the needed item ids, the factor rows are fetched by join, and
+    pass B scores per user block — the catalog never leaves the cluster."""
+    spark = P.sparkSession
+    K = sampled_negatives
+    per_user = (
+        train.groupBy("user").agg(
+            F.sort_array(F.collect_set("item")).alias("items")
+        )
+        .join(
+            test.groupBy("user").agg(
+                F.sort_array(F.collect_set("item")).alias("test_items")
+            ),
+            "user", "left",
+        )
+        .join(P, "user")
+        .withColumn("__part", F.pmod(F.xxhash64("user"), F.lit(16)).cast("int"))
+        .persist()
+    )
+    num_test = test.count()
+
+    def draws_for(user: int, pur: set, tests: list):
+        """The (test item → negatives) map — same rejection rng as solve_sampled."""
+        excl = pur | set(tests)
+        out = {}
+        for t in tests:
+            rng = np.random.default_rng((seed, user, t))
+            negs: list[int] = []
+            while len(negs) < K:
+                cand = rng.integers(0, n_items, 4 * K)
+                negs.extend(int(c) for c in cand if int(c) not in excl)
+                if len(excl) >= n_items:
+                    break
+            out[t] = negs[:K]
+        return out
+
+    def needed(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["__part"].iloc[0]) if len(pdf) else 0
+        items_needed = set()
+        for r in pdf.itertuples():
+            tests = ([int(x) for x in r.test_items]
+                     if r.test_items is not None else [])
+            pur = set(int(x) for x in r.items)
+            for t, negs in draws_for(int(r.user), pur, tests).items():
+                items_needed.add(t)
+                items_needed.update(negs)
+        return pd.DataFrame({"block": part, "item": sorted(items_needed)}) \
+            if items_needed else pd.DataFrame({"block": [], "item": []})
+
+    touched = per_user.groupBy("__part").applyInPandas(needed, _TOUCH_SCHEMA)
+    fitems = touched.join(items, "item").select("block", "item", "qf", "b")
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("user").reset_index(drop=True)
+        Qd = {int(r.item): np.array(r.qf, dtype=np.float64)
+              for r in right.itertuples()}
+        Bd = {int(r.item): float(r.b) for r in right.itertuples()}
+        hr, rr, auc, active = 0, 0.0, 0.0, 0
+        for r in left.itertuples():
+            pu = np.array(r.factors)
+            tests = ([int(x) for x in r.test_items]
+                     if r.test_items is not None else [])
+            pur = set(int(x) for x in r.items)
+            for t, negs in draws_for(int(r.user), pur, tests).items():
+                if not negs:
+                    continue
+                na = np.array(negs, dtype=np.int64)
+                st = float(Qd[t] @ pu + Bd[t])
+                sn = np.array([Qd[j] @ pu + Bd[j] for j in na])
+                below = (sn < st) | ((sn == st) & (na > t))
+                active += 1
+                auc += float(below.sum()) / len(na)
+                rank = 1 + int((~below).sum())
+                if rank <= top_n:
+                    hr += 1
+                    rr += 1.0 / rank
+        return pd.DataFrame(
+            [(hr, rr, auc, active)],
+            columns=["hr_count", "rr_sum", "auc_sum", "active_test"],
+        )
+
+    parts = (
+        per_user.groupby("__part")
+        .cogroup(fitems.groupby("block"))
+        .applyInPandas(score, _METRIC_SCHEMA)
+    )
+    agg = parts.agg(
+        F.sum("hr_count").alias("hr"), F.sum("rr_sum").alias("rr"),
+        F.sum("auc_sum").alias("auc"), F.sum("active_test").alias("act"),
+    ).collect()[0]
+    per_user.unpersist()
+    return {
+        "HR": (agg.hr or 0) / max(num_test, 1),
+        "ARHR": (agg.rr or 0.0) / max(num_test, 1),
+        "AUC": (agg.auc or 0.0) / max(agg.act or 1, 1),
+    }
