@@ -97,34 +97,29 @@ def power_iteration_clustering(
         if it % 3 == 2 or it == max_iter - 1:
             v = v.localCheckpoint(eager=True)
 
-    norm = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
-    v = v.select("id", (F.col("v") / F.lit(norm)).alias("v")).localCheckpoint(
-        eager=True
-    )
-
-    # 1-D k-means on the embedding: quantile init, bounded Lloyd iterations
-    qs = [(i + 0.5) / k for i in range(k)]
-    centroids = v.approxQuantile("v", qs, 0.0001)
-    # collapse duplicate centroids (degenerate embeddings) deterministically
-    centroids = sorted(set(centroids))
-    while len(centroids) < k:
-        centroids.append(centroids[-1] + 1e-9 * (len(centroids) + 1))
-
-    # Lloyd rounds: when the embedding fits on the driver (one double per
-    # vertex; the cap is ~64 MB), run them exactly in NumPy — ONE collect
-    # instead of one Spark job per round. Past the cap (web-scale vertex
-    # sets) the distributed per-round aggregate below runs instead; both
-    # paths use the same argmin-first tie-break as the final assignment.
-    # Arrow-batched toPandas: ~8 bytes/row on the driver (a plain collect
-    # of Row objects is ~100 bytes/row — hundreds of MB at the 4M cap)
+    # When the embedding fits on the driver (one double per vertex via
+    # Arrow toPandas, ~8 bytes/row, ~32 MB at the 4M cap), ONE collect of
+    # the RAW iterate powers everything that follows: the L1 norm, the
+    # quantile centroid init, and exact NumPy Lloyd — replacing a
+    # norm-collect job + an approxQuantile job + one job per Lloyd round.
+    # Past the cap (web-scale vertex sets) the distributed path below pays
+    # those jobs instead; both paths use the same argmin-first tie-break
+    # as the final assignment.
     import numpy as np
 
+    qs = [(i + 0.5) / k for i in range(k)]
     vals = (
         v.select("v").limit(_KMEANS_DRIVER_CAP + 1).toPandas()["v"]
         .to_numpy(dtype=np.float64)
     )
     if len(vals) <= _KMEANS_DRIVER_CAP:
-        arr = vals
+        norm = float(np.abs(vals).sum()) or 1.0
+        v = v.select("id", (F.col("v") / F.lit(norm)).alias("v"))
+        arr = vals / norm
+        centroids = [float(c) for c in np.quantile(arr, qs)]
+        centroids = sorted(set(centroids))
+        while len(centroids) < k:
+            centroids.append(centroids[-1] + 1e-9 * (len(centroids) + 1))
         for _ in range(kmeans_iter):
             c = np.asarray(centroids)
             assign = np.argmin(np.abs(arr[:, None] - c[None, :]), axis=1)
@@ -136,6 +131,15 @@ def power_iteration_clustering(
                 break
             centroids = new_centroids
     else:
+        norm = v.agg(F.sum(F.abs("v")).alias("n")).collect()[0].n or 1.0
+        v = v.select(
+            "id", (F.col("v") / F.lit(norm)).alias("v")
+        ).localCheckpoint(eager=True)
+        centroids = v.approxQuantile("v", qs, 0.0001)
+        # collapse duplicate centroids (degenerate embeddings) deterministically
+        centroids = sorted(set(centroids))
+        while len(centroids) < k:
+            centroids.append(centroids[-1] + 1e-9 * (len(centroids) + 1))
         for _ in range(kmeans_iter):
             dists = F.array(*[F.abs(F.col("v") - F.lit(c)) for c in centroids])
             assigned = v.withColumn(
