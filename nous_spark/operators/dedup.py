@@ -180,31 +180,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def srp_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH candidate (a, b) pairs with a < b. ``n_bits=None`` →
+    ceil(log2(n)) + 1 (min 8), keeping expected random-pair collisions
+    per vector constant as the corpus grows (see
+    ``embedding_near_duplicates``)."""
+    from nous_spark.operators.ann import lsh_signatures
+
+    if n_bits is None:
+        import math
+
+        n_bits = max(8, math.ceil(math.log2(max(df.count(), 2))) + 1)
+    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
+                         vec_col=vec_col)
+    l = sig.alias("l")
+    r = sig.alias("r")
+    return (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: SRP-LSH bucketing for candidates
-    (high-cosine pairs collide with high probability at small n_bits),
-    exact cosine verify. Returns (a, b, cosine) with a < b."""
-    from nous_spark.functions.similarity import cosine_col
-    from nous_spark.operators.ann import lsh_signatures
+    (high-cosine pairs collide with high probability), exact cosine
+    verify. Returns (a, b, cosine) with a < b.
 
-    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
-                         vec_col=vec_col)
-    l = sig.alias("l")
-    r = sig.alias("r")
-    cand = (
-        l.join(r, ["table", "bucket"])
-        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    ``n_bits`` defaults to ceil(log2(n)) + 1 (min 8): at a FIXED bit
+    width, random-pair bucket collisions are O(n²/2^bits) — quadratic in
+    corpus size, the all-pairs blowup this operator exists to avoid
+    (caught by tests/test_scale_probe.py). Scaling bits with log2(n)
+    keeps expected candidates per vector constant, i.e. total candidate
+    work linear in n; recall for genuinely high-cosine pairs stays high
+    because their per-bit agreement probability is close to 1 (raise
+    ``n_tables`` if the duplicate threshold is lowered far below 0.95)."""
+    from nous_spark.functions.similarity import cosine_col
+
+    cand = srp_candidate_pairs(df, dim, n_bits, n_tables, id_col, vec_col)
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))

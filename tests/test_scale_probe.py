@@ -1,0 +1,82 @@
+"""Candidate-generation blowup regression gate (promoted from
+scripts/scale_probe.py): a quadratic candidate generator grows candidate
+PAIR COUNTS ~K^2 under a K-fold blowup-honest amplification, a blocked one
+grows ~K. Counting pairs instead of timing keeps the gate deterministic on
+a host whose throughput swings 4x (NOTES_ROUND3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+FACTOR = 6
+C = 3  # slack over perfectly-linear growth (cross-copy hash collisions)
+
+
+def test_minhash_candidates_stay_linear(spark):
+    from nous_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from scripts.scale_probe import amplified_documents
+
+    def cand(docs):
+        return lsh_candidate_pairs(
+            minhash_signatures(shingles(docs))
+        ).count()
+
+    c1 = cand(spark.read.parquet(f"{SF}/documents.parquet"))
+    cK = cand(amplified_documents(spark, SF, FACTOR))
+    assert c1 > 0
+    assert cK <= c1 * FACTOR * C, (c1, cK)
+
+
+def test_simhash_candidates_stay_linear(spark):
+    from nous_spark.operators.dedup import simhash
+    from scripts.scale_probe import amplified_documents
+
+    def cand(docs):
+        sh = simhash(docs)
+        width = 16
+        banded = sh.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+                )
+                for b in range(4)
+            ])).alias("bc"),
+        ).select("id", "bc.band", "bc.chunk")
+        l, r = banded.alias("l"), banded.alias("r")
+        return (
+            l.join(r, ["band", "chunk"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .dropDuplicates(["a", "b"]).count()
+        )
+
+    c1 = cand(spark.read.parquet(f"{SF}/documents.parquet"))
+    cK = cand(amplified_documents(spark, SF, FACTOR))
+    assert c1 > 0
+    assert cK <= c1 * FACTOR * C, (c1, cK)
+
+
+def test_srp_embedding_candidates_stay_linear(spark):
+    """At FIXED n_bits, SRP bucket collisions are O(n²/2^bits) — the
+    operator must auto-scale bits with log2(n) (round-4 fix) to keep
+    candidate work linear."""
+    from nous_spark.operators.dedup import srp_candidate_pairs
+    from scripts.scale_probe import amplified_embeddings
+
+    emb1 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb1.select("embedding").first()[0])
+
+    c1 = srp_candidate_pairs(emb1, dim).count()
+    cK = srp_candidate_pairs(
+        amplified_embeddings(spark, SF, FACTOR), dim
+    ).count()
+    assert c1 > 0
+    assert cK <= c1 * FACTOR * C, (c1, cK)
