@@ -191,6 +191,11 @@ def main() -> None:
         "all_runs_small": all_runs[n_small],
         "all_runs_big": all_runs[n_big],
         "pass_north_rule": eff >= 0.8,
+        # the honest 4N-cluster proxy: extract is per-executor compute
+        # (multiplied on a real cluster); the write/shuffle phase shares
+        # this ONE box's memory bus (not multiplied), so it is reported
+        # separately above instead of laundered into the headline ratio
+        "pass_north_rule_extract": (eff_extract or 0) >= 0.8,
     }
     print(json.dumps(summary))
     import shutil
