@@ -99,6 +99,29 @@ def host_health_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def host_bandwidth_probe() -> float:
+    """Time a fixed MEMORY-BANDWIDTH workload (copy 1 GB through RAM).
+
+    The sha256 probe detects CPU steal but runs inside cache — blind to a
+    noisy neighbor saturating the shared memory bus, which is exactly
+    what hits the shuffle/write phase (round-4 finding: write reps
+    swung 4.7→65 s across minutes while sha256 stayed at ~0.05 s).
+    Clean window on this box: ~0.12 s; multiples of that mark
+    bus-contended reps. Buffers are pre-touched and one warmup pass runs
+    untimed — page-fault servicing would otherwise dominate and measure
+    the kernel, not the bus."""
+    import numpy as np
+    import time
+
+    a = np.ones(1 << 27, dtype=np.int8)  # 128 MB, far beyond LLC
+    b = np.empty_like(a)
+    np.copyto(b, a)  # warmup: fault both buffers in
+    t0 = time.perf_counter()
+    for _ in range(8):
+        np.copyto(b, a)  # 2 x 128 MB of bus traffic per pass
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     # large enough that the parallel compute dominates fixed scheduling /
     # write overheads — efficiency at tiny inputs measures startup, not scaling
@@ -131,14 +154,17 @@ def main() -> None:
     all_runs: dict[int, list] = {}
     all_extract: dict[int, list] = {}
     all_health: dict[int, list] = {}
+    all_bw: dict[int, list] = {}
     # best-of-N per config: this VM shows ±30% run-to-run noise (shared
     # host); the best run is the least-contended measurement of the engine
     for cores in (n_small, n_big):
         out = os.path.join(work, f"triples_{cores}")
         runs = []
         health = []
+        bw = []
         for rep in range(reps):
             health.append(host_health_probe())
+            bw.append(host_bandwidth_probe())
             r = subprocess.run(
                 [sys.executable, "-c", job_src, str(cores), src_path, out],
                 capture_output=True, text=True,
@@ -153,6 +179,7 @@ def main() -> None:
         all_runs[cores] = [x["docs_per_sec"] for x in runs]
         all_extract[cores] = [x.get("extract_docs_per_sec", 0) for x in runs]
         all_health[cores] = health
+        all_bw[cores] = bw
         results[cores] = max(runs, key=lambda x: x["docs_per_sec"])
         # extract-phase best chosen independently: a rep whose write phase
         # caught a bad host window can still carry the cleanest extract rate
@@ -184,6 +211,8 @@ def main() -> None:
         "all_extract_big": all_extract[n_big],
         "host_probe_sec_small": all_health[n_small],
         "host_probe_sec_big": all_health[n_big],
+        "bw_probe_sec_small": all_bw[n_small],
+        "bw_probe_sec_big": all_bw[n_big],
         "n_small": n_small,
         "n_big": n_big,
         "n_files": n_files,
