@@ -91,6 +91,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     extract_tput = round(n_docs / max(timings["kg_extract_triples"], 1e-9), 1)
+    # host-tenancy context (see scripts/scaling_bench.py): cpu ~0.05s and
+    # bw ~0.13s on a clean window; multiples mean the wall numbers above
+    # were taken on a contended host, not a slower engine
+    from scripts.scaling_bench import host_bandwidth_probe, host_health_probe
+
+    probes = {
+        "host_cpu_probe_sec": host_health_probe(),
+        "host_bw_probe_sec": host_bandwidth_probe(),
+    }
     out = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -103,6 +112,7 @@ def main() -> None:
         "extended_wall": round(sum(ext_timings.values()), 3),
         "reps": reps,
         "agg": "min",
+        **probes,
     }
     print(json.dumps(out))
 
