@@ -80,3 +80,32 @@ def test_srp_embedding_candidates_stay_linear(spark):
     ).count()
     assert c1 > 0
     assert cK <= c1 * FACTOR * C, (c1, cK)
+
+
+def test_ngram_prefix_block_candidates_stay_linear(spark):
+    """Prefix-filter blocking (2 smallest shingle hashes) must also grow
+    candidates ~linearly: copies share no shingles with each other, so
+    cross-copy blocking collisions stay negligible."""
+    from nous_spark.operators.dedup import shingles
+    from scripts.scale_probe import amplified_documents
+
+    def cand(docs):
+        sh = shingles(docs)
+        blocked = sh.select(
+            "id",
+            F.explode(
+                F.slice(F.array_sort("shingle_hashes"), 1, 2)
+            ).alias("blk"),
+        )
+        l, r = blocked.alias("l"), blocked.alias("r")
+        return (
+            l.join(r, "blk")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .dropDuplicates(["a", "b"]).count()
+        )
+
+    c1 = cand(spark.read.parquet(f"{SF}/documents.parquet"))
+    cK = cand(amplified_documents(spark, SF, FACTOR))
+    assert c1 > 0
+    assert cK <= c1 * FACTOR * C, (c1, cK)
