@@ -61,8 +61,10 @@ def edge_label_multiset(edges: DataFrame) -> DataFrame:
 
 
 def two_edge_signatures(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """A6 (getGraphDistributions.scala:69-146): typed 2-edge signature
-    histogram — A→B→C chains and A←B→C forks.
+    """A6 (getGraphDistributions.scala:69-200): typed 2-edge signature
+    histogram — A→B→C chains (pregel block), A←B→C out-forks
+    (``ab_ac_OnA``, sendToSrc) and A→B←C in-forks (``ba_ca_OnA``,
+    sendToDst).
 
     The reference collects every incident edge signature per vertex and
     pairs them i<j (flatMap over the per-vertex list). A literal
@@ -129,6 +131,33 @@ def two_edge_signatures(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cnt"),
     )
     forks = cross.unionByName(within).withColumn("shape", F.lit("fork"))
-    return chains.unionByName(forks).groupBy("shape", "sig").agg(
-        F.sum("cnt").alias("cnt")
+    # in-forks A→B←C (ba_ca_OnA, sendToDst): same combinatorial counting
+    # over per-DST typed groups, canonical order by (pred, src_t)
+    ig = in_g.withColumnRenamed("dst", "vid")
+    ia, ib = ig.alias("a"), ig.alias("b")
+    icross = (
+        ia.join(ib, (F.col("a.vid") == F.col("b.vid"))
+                & ((F.col("a.pred") < F.col("b.pred"))
+                   | ((F.col("a.pred") == F.col("b.pred"))
+                      & (F.col("a.src_t") < F.col("b.src_t")))))
+        .select(
+            F.concat_ws(
+                ">", F.col("a.src_t"), F.col("a.pred"), F.col("a.dst_t"),
+                F.col("b.pred"), F.col("b.src_t"),
+            ).alias("sig"),
+            (F.col("a.c") * F.col("b.c")).alias("cnt"),
+        )
     )
+    iwithin = ig.filter(F.col("c") >= 2).select(
+        F.concat_ws(
+            ">", F.col("src_t"), F.col("pred"), F.col("dst_t"),
+            F.col("pred"), F.col("src_t"),
+        ).alias("sig"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cnt"),
+    )
+    in_forks = icross.unionByName(iwithin).withColumn(
+        "shape", F.lit("fork_in")
+    )
+    return chains.unionByName(forks).unionByName(in_forks).groupBy(
+        "shape", "sig"
+    ).agg(F.sum("cnt").alias("cnt"))

@@ -125,7 +125,7 @@ def test_two_edge_signatures_bruteforce(spark):
         if d1 == s2:
             sig = ">".join([lab[s1], p1, lab[d1], p2, lab[d2]])
             want[("chain", sig)] = want.get(("chain", sig), 0) + 1
-    # forks: unordered instance pairs at the shared src, canonical
+    # out-forks: unordered instance pairs at the shared src, canonical
     # orientation by (pred, dst_t)
     for (e1, e2) in itertools.combinations(es, 2):
         if e1[0] != e2[0]:
@@ -135,6 +135,16 @@ def test_two_edge_signatures_bruteforce(spark):
         a, b = (e1, e2) if k1 <= k2 else (e2, e1)
         sig = "<".join([lab[a[1]], a[2], lab[a[0]], b[2], lab[b[1]]])
         want[("fork", sig)] = want.get(("fork", sig), 0) + 1
+    # in-forks (reference ba_ca_OnA, sendToDst): shared dst, canonical
+    # orientation by (pred, src_t)
+    for (e1, e2) in itertools.combinations(es, 2):
+        if e1[1] != e2[1]:
+            continue
+        k1 = (e1[2], lab[e1[0]])
+        k2 = (e2[2], lab[e2[0]])
+        a, b = (e1, e2) if k1 <= k2 else (e2, e1)
+        sig = ">".join([lab[a[0]], a[2], lab[a[1]], b[2], lab[b[0]]])
+        want[("fork_in", sig)] = want.get(("fork_in", sig), 0) + 1
 
     v = spark.createDataFrame(vs, ["id", "label"])
     e = spark.createDataFrame(es, ["src", "dst", "pred"])
