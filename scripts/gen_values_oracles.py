@@ -34,6 +34,14 @@ GATES = [
     "dd_simhash_pairs",
     "ann_lsh_topk",
     "dd_embedding_pairs",
+    # the last three formerly-rows-only gates: semantics are pinned by
+    # golden tests (extraction P/R=1.0 vs the reference corpus, StringSim
+    # merge-alignment goldens in test_linking); the VALUES oracle adds
+    # cross-session determinism + regression pinning, with independent
+    # invariant checks below (sha256 lineage, token-blocking, bounds)
+    "kg_extract_triples",
+    "j2_candidate_pairs_stringsim",
+    "f8_string_sim",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -146,6 +154,11 @@ def main() -> None:
     print("ann_lsh_topk: independent cosine/ordering check OK")
     verify_embedding_pairs(spark)
     print("dd_embedding_pairs: independent cosine + planted-recall check OK")
+
+    verify_extract_invariants(spark)
+    print("kg_extract_triples: independent sha256-lineage check OK")
+    verify_stringsim_invariants(spark)
+    print("j2/f8 stringsim: independent blocking/bounds checks OK")
 
 
 def verify_g7_against_numpy(spark) -> None:
@@ -577,6 +590,56 @@ def verify_embedding_pairs(spark) -> None:
         assert cos >= 0.9
     for i in range(10):
         assert (i, i + 1_000_000) in got, f"planted pair {i} not recovered"
+
+
+def verify_extract_invariants(spark) -> None:
+    """The north rule's per-row lineage invariant, checked from the SOURCE
+    table with no engine code: every oracle row's content_sha must equal
+    hashlib.sha256 of the doc text it cites (src = 'corpus/<doc_id>'),
+    and every source doc must be accounted for (its sha appears or it
+    legitimately produced no triples — bounded by the doc count)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sha_of = {
+        str(did): hashlib.sha256((text or "").encode()).hexdigest()
+        for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    names, rows = _oracle_rows("kg_extract_triples")
+    assert rows, "empty extraction oracle"
+    i_src = names.index("src")
+    i_sha = names.index("content_sha")
+    seen_docs = set()
+    for r in rows:
+        doc = r[i_src].split("/", 1)[1]
+        assert sha_of[doc] == r[i_sha], (r[i_src], r[i_sha])
+        seen_docs.add(doc)
+    assert len(seen_docs) > len(sha_of) * 0.5, "most docs produced nothing"
+
+
+def verify_stringsim_invariants(spark) -> None:
+    """Engine-free invariants: every J2 candidate's mention must share a
+    lowercase token with its entity label (the blocking contract), sims
+    and confs lie in [0, 1], and F8 pairs consecutive part keys."""
+    import re
+
+    names, rows = _oracle_rows("j2_candidate_pairs_stringsim")
+    assert rows
+    i_m, i_l, i_s = (names.index(c) for c in
+                     ("mention", "entity_label", "name_sim"))
+    for r in rows:
+        toks_m = set(re.split(r"[ _,$]", r[i_m].lower())) - {""}
+        toks_l = set(re.split(r"[ _,$]", r[i_l].lower())) - {""}
+        assert toks_m & toks_l, (r[i_m], r[i_l])
+        assert 0.0 <= r[i_s] <= 1.0
+    names, rows = _oracle_rows("f8_string_sim")
+    assert rows
+    i_a, i_b, i_s = (names.index(c) for c in ("id_a", "id_b", "sim"))
+    for r in rows:
+        assert r[i_b] == r[i_a] + 1
+        assert 0.0 <= r[i_s] <= 1.0
 
 
 if __name__ == "__main__":
