@@ -968,8 +968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_subword_count": _q_subword_count,
         "str_windowed_agg": _q_windowed_agg,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        # ---- rows-only from here: non-SQL-expressible (NLP pipeline,
-        # sequential merge alignment) ----
+        # ---- non-SQL-expressible ops (NLP pipeline, sequential merge
+        # alignment): VALUES-oracled since round 4 — semantics pinned by
+        # golden tests, determinism + lineage pinned by the oracle
+        # (gen_values_oracles verifies sha256 lineage / blocking / bounds
+        # independently) ----
         "kg_extract_triples": _q_extract_triples,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
@@ -1557,12 +1560,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, pred FROM e
             WHERE src IN (SELECT id FROM tails) OR dst IN (SELECT id FROM tails)
         """,
-        # rows-only (non-SQL-expressible): kg_extract_triples (NLP
-        # pipeline), j2_candidate_pairs_stringsim / f8_string_sim
-        # (merge-alignment stage is sequential; the Dice stage is oracled
-        # above). The hash-family gates (dd_minhash/dd_simhash/
-        # dd_embedding_pairs, ann_lsh_topk) are VALUES-oracled below —
-        # generated + independently verified by scripts/gen_values_oracles
+        # Every remaining gate is VALUES-oracled below (merged from
+        # fixtures/values_oracles.json): the hash-family gates
+        # (dd_minhash/dd_simhash/dd_embedding_pairs, ann_lsh_topk), the
+        # seeded-RNG gates (mm_*, g7_pic, lp_bpr_metrics), and since
+        # round 4 the non-SQL ops (kg_extract_triples, the two StringSim
+        # forms). All generated + independently verified by
+        # scripts/gen_values_oracles (brute-force Jaccard, NumPy
+        # re-derivations, sha256 lineage, blocking/bounds invariants);
+        # zero rows-only entries remain.
         **_values_oracles(),
     }
 
