@@ -321,3 +321,32 @@ def read_lg_graph(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
         parts.getItem(3).alias("pred"),
     )
     return vertices, edges
+
+
+def read_source_table(spark: SparkSession, ref: str) -> DataFrame:
+    """North-rule source loader: the Iceberg table of source-code
+    repositories (repo, path, commit, lang, content).
+
+    ``ref`` resolution, in order:
+
+    1. a path (contains '/' or ends in '.parquet') → parquet directory
+       scan — the sandbox stand-in, same schema, identical downstream plan
+    2. an Iceberg table identifier (``catalog.db.table``) via
+       ``spark.read.format("iceberg")`` when the Iceberg runtime is on the
+       classpath — at 10^12 files this is the real entry: snapshot-
+       isolated scans, partition pruning on (repo prefix, commit date),
+       and metadata-only planning instead of file listing
+    3. a catalog/temp-view table name via ``spark.table`` — also what the
+       Iceberg SQL-catalog path resolves to on clusters that register the
+       table in the session catalog
+
+    Everything past the load is plain DataFrame API, so the choice of 1-3
+    changes only the scan node."""
+    if "/" in ref or ref.endswith(".parquet"):
+        return spark.read.parquet(ref)
+    try:
+        return spark.read.format("iceberg").load(ref)
+    except Exception:
+        # no Iceberg runtime jar (this sandbox) or not an Iceberg ref —
+        # fall through to the session catalog
+        return spark.table(ref)

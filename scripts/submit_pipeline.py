@@ -16,7 +16,8 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True, help="parquet source table dir")
+    ap.add_argument("--source", required=True,
+                    help="source table: parquet dir, Iceberg identifier, or catalog table name (see read_source_table)")
     ap.add_argument("--out", required=True, help="output/state root")
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--no-link", action="store_true")
@@ -30,7 +31,9 @@ def main() -> None:
 
     from nous_spark.plans.pipeline import pipeline_metrics, run_pipeline
 
-    source = spark.read.parquet(args.source)
+    from nous_spark.sources.readers import read_source_table
+
+    source = read_source_table(spark, args.source)
     final = run_pipeline(
         spark, source, args.out,
         n_batches=args.batches, fancy=args.fancy, link=not args.no_link,

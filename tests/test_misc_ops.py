@@ -282,3 +282,21 @@ def test_read_triples_las_munging(spark, tmp_path):
         ("case", "d", "e"),
         ("case", "d", "e"),
     ])
+
+
+def test_read_source_table_resolution(spark, tmp_path):
+    """North-rule source loader: parquet paths scan directly; non-path
+    refs resolve through the Iceberg reader when present, else the
+    session catalog (temp views stand in for catalog tables here)."""
+    from nous_spark.sources.readers import read_source_table
+
+    df = spark.createDataFrame(
+        [("r", "a.py", "c" * 40, "python", "x = 1")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    p = str(tmp_path / "src.parquet")
+    df.write.parquet(p)
+    assert read_source_table(spark, p).count() == 1
+    df.createOrReplaceTempView("nr_source_tbl")
+    got = read_source_table(spark, "nr_source_tbl")
+    assert got.count() == 1 and got.columns == df.columns
