@@ -237,3 +237,27 @@ def test_bpr_distributed_large_catalog_touches_sparsely(spark):
     changed = [i for i in a if a[i] != b[i]]
     # 2 blocks * 8 users * 10 steps * 3 items max per step = 480 bound
     assert 0 < len(changed) <= 480
+
+
+def test_bpr_distributed_social_runs(spark, block_data):
+    """Distributed path with the social extension: friend-purchased items
+    rank between own purchases and negatives; must stay deterministic and
+    not hurt AUC on the block fixture."""
+    from nous_spark.operators.link_prediction import (
+        bpr_evaluate_distributed,
+        bpr_train_distributed,
+    )
+
+    train, test = block_data
+    social = spark.createDataFrame(
+        [(u, (u + 1) % 15) for u in range(15)]
+        + [(u, 15 + (u - 15 + 1) % 15) for u in range(15, 30)],
+        ["user", "friend"],
+    )
+    P, items = bpr_train_distributed(
+        spark, train, n_items=20, social=social, epochs=6,
+        steps_per_user=120, k=8, n_blocks=3, seed=5,
+    )
+    m = bpr_evaluate_distributed(P, items, train, test, n_items=20,
+                                 top_n=5, sampled_negatives=12, seed=11)
+    assert m["AUC"] > 0.65, m
