@@ -116,3 +116,27 @@ def windowed_event_counts(
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "cnt", "sum_value")
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for a document stream: keep the FIRST
+    occurrence of each content hash, dropping re-crawls/replays that
+    arrive within the watermark horizon.
+
+    State is the set of 128-bit md5 hashes seen inside the watermark —
+    bounded and evicted by Spark (dropDuplicatesWithinWatermark), never
+    the document text; at web scale that is GBs of state for TBs of
+    stream. The batch counterpart is operators/dedup.py::exact_duplicates
+    (same hash, groupBy form)."""
+    return (
+        stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select(id_col, ts_col, "text_hash", text_col)
+    )

@@ -120,3 +120,38 @@ def test_stateful_window_support(spark, tmp_path):
     assert final["C"] == (4, 14)
     # B's last update was at batch 1 with batches {0,1} in window
     assert final["B"] == (1, 10)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First occurrence of each text survives; replays within the
+    watermark are dropped — over a real readStream."""
+    import datetime as dt
+
+    from nous_spark.streaming.structured import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(20):
+        rows.append((i, t0 + dt.timedelta(seconds=i), f"doc body {i % 8}"))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).repartition(
+        2
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    # 8 distinct texts → exactly 8 survivors, one per hash
+    assert len(out) == 8
+    assert len({r.text_hash for r in out}) == 8
+    assert {r.text for r in out} == {f"doc body {k}" for k in range(8)}
