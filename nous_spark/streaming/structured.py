@@ -140,3 +140,92 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["text_hash"])
         .select(id_col, ts_col, "text_hash", text_col)
     )
+
+
+_MHSTATE_OUT = ("band INT, a BIGINT, b BIGINT, est_jaccard DOUBLE")
+_MHSTATE_STATE = "ids ARRAY<LONG>, sigs ARRAY<ARRAY<LONG>>"
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    state_cap: int = 256,
+) -> DataFrame:
+    """Streaming MinHash near-dup candidates: cross-batch LSH-bucket state
+    via applyInPandasWithState.
+
+    Batch dedup (operators/dedup.py::minhash_near_duplicates) sees the
+    whole corpus at once; a crawl stream does not — a near-duplicate can
+    arrive hours after its original. Here each (band, band_hash) bucket
+    keeps the (id, signature) pairs previously routed to it; a new
+    arrival is compared against them and emits (a, b, est_jaccard) where
+    est_jaccard = fraction of equal minhash components (the standard
+    unbiased Jaccard estimator) — no shingle sets in state, just
+    num_hashes longs per doc per band. State per bucket is capped at
+    ``state_cap`` entries (FIFO eviction) so one degenerate bucket cannot
+    grow without bound; a pair colliding in several bands is emitted once
+    per band — downstream dedups on (a, b) (within a watermark when
+    streaming).
+
+    Signature computation reuses the batch column expressions (shingles →
+    single-aggregate minhash), so the hash family matches the batch
+    operator exactly."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    from nous_spark.operators.dedup import minhash_signatures, shingles
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(stream, text_col, id_col), num_hashes)
+    banded = sig.select(
+        F.col("id"),
+        F.col("signature"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ))).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bh"),
+    ).select("id", "signature", "bh.band", "bh.band_hash")
+
+    def update(key, pdfs, state):
+        ids, sigs = ([], []) if not state.exists else [
+            list(x) for x in state.get
+        ]
+        sigs = [list(s) for s in sigs]
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdfs:
+            for rid, rsig in zip(pdf["id"], pdf["signature"]):
+                rid = int(rid)
+                rsig = [int(x) for x in rsig]
+                for oid, osig in zip(ids, sigs):
+                    if oid == rid:
+                        continue
+                    est = sum(x == y for x, y in zip(rsig, osig)) / len(rsig)
+                    if est >= threshold:
+                        a, b = sorted((oid, rid))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(est)
+                if rid not in ids:
+                    ids.append(rid)
+                    sigs.append(rsig)
+        if len(ids) > state_cap:
+            ids, sigs = ids[-state_cap:], sigs[-state_cap:]
+        state.update((ids, sigs))
+        if out_a:
+            yield pd.DataFrame(
+                {"band": int(key[0]), "a": out_a, "b": out_b,
+                 "est_jaccard": out_j}
+            )
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        update, _MHSTATE_OUT, _MHSTATE_STATE, "append", "NoTimeout",
+    )

@@ -155,3 +155,42 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(out) == 8
     assert len({r.text_hash for r in out}) == 8
     assert {r.text for r in out} == {f"doc body {k}" for k in range(8)}
+
+
+def test_streaming_minhash_cross_batch(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch must still pair
+    with its original: bucket state carries (id, signature) across
+    batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from nous_spark.streaming.structured import streaming_minhash_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    variant = base + " again"
+    other = ("completely different content about spark structured "
+             "streaming state stores and watermarks for dedup")
+    d1 = str(tmp_path / "in" / "f1.parquet")
+    d2 = str(tmp_path / "in" / "f2.parquet")
+    spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(d1)
+    spark.createDataFrame([(3, variant)], ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(d2)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*.parquet"))
+    )
+    q = (
+        streaming_minhash_candidates(stream, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("mh_cand")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM mh_cand").collect()
+    pairs = {(r.a, r.b) for r in rows}
+    assert (1, 3) in pairs, rows
+    assert all(p == (1, 3) for p in pairs), pairs  # no false pairs
+    assert all(r.est_jaccard >= 0.5 for r in rows)
