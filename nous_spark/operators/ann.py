@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nous_spark.functions.similarity import cosine_col
@@ -256,3 +256,118 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    kmeans_iter: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Build an IVF index once: trained centroids + the cell-assigned
+    vector table. ``ivf_topk`` retrains and reassigns on every call —
+    fine for one-shot analytics, wasteful for a serving workflow where
+    one index answers many query batches. Returns (centroids,
+    assigned(vec_id, v_emb, cell))."""
+    cents = ivf_train_centroids(vectors, dim, n_cells, kmeans_iter, seed,
+                                vec_col)
+
+    def cell_scores(col):
+        v = col.cast("array<double>")
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for c in cents
+        ])
+
+    # same top-1 selection (and score-tie break) as ivf_topk/ivf_query
+    def top1(col):
+        scores = cell_scores(col)
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        pairs = F.zip_with(scores, idx,
+                           lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, 1)[0]["i"]
+
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v_emb"),
+    ).withColumn("cell", top1(F.col("v_emb")).cast("int"))
+    return cents, assigned
+
+
+def ivf_save_index(cents: list[list[float]], assigned: DataFrame,
+                   path: str) -> None:
+    """Persist an IVF index: centroids as a tiny parquet (cell, centroid),
+    assignments partitioned BY CELL so a query probing n_probe cells
+    prunes to n_probe/n_cells of the data at the file level."""
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cell", "centroid"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors")
+
+
+def ivf_load_index(spark: SparkSession,
+                   path: str) -> tuple[list[list[float]], DataFrame]:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [list(r.centroid) for r in sorted(rows, key=lambda r: r.cell)]
+    assigned = spark.read.parquet(f"{path}/vectors")
+    return cents, assigned
+
+
+def ivf_query(
+    cents: list[list[float]],
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt IVF index (from ``ivf_build_index`` or
+    ``ivf_load_index``): probe the n_probe nearest cells per query, exact
+    cosine on the probed vectors only. The cell filter reaches the scan
+    as partition pruning when the index was saved partitionBy(cell)."""
+    n_cells = len(cents)
+
+    def cell_scores(col):
+        v = col.cast("array<double>")
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for c in cents
+        ])
+
+    def top_cells(col, n):
+        scores = cell_scores(col)
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        pairs = F.zip_with(scores, idx,
+                           lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(pairs)), 1, n), lambda p: p["i"]
+        )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_emb"),
+    ).withColumn("cells", top_cells(F.col("q_emb"), n_probe))
+    q_cells = q.select("query_id", "q_emb",
+                       F.explode("cells").alias("cell"))
+    scored = assigned.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("v_emb"), F.col("q_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

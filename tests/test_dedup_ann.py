@@ -131,3 +131,42 @@ def test_ivf_kmeans_refine_recall(spark, sf_dir):
     c1 = ivf_train_centroids(emb, 16, n_cells=4, kmeans_iter=3)
     c2 = ivf_train_centroids(emb, 16, n_cells=4, kmeans_iter=3)
     assert c1 == c2
+
+
+def test_ivf_index_roundtrip_matches_direct(spark, sf_dir, tmp_path):
+    """Build-once/save/load/query must return exactly what the one-shot
+    ivf_topk returns for the same parameters, and the saved layout is
+    partitioned by cell (file-level pruning for probes)."""
+    import os
+
+    from nous_spark.operators.ann import (
+        ivf_build_index,
+        ivf_load_index,
+        ivf_query,
+        ivf_save_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    direct = {
+        (r.query_id, r.vec_id): (r.cosine, r.rank)
+        for r in ivf_topk(emb, q, dim=dim, k=5, n_cells=8, n_probe=3,
+                          seed=7, kmeans_iter=3).collect()
+    }
+    cents, assigned = ivf_build_index(emb, dim, n_cells=8, kmeans_iter=3,
+                                      seed=7)
+    path = str(tmp_path / "ivf")
+    ivf_save_index(cents, assigned, path)
+    cents2, assigned2 = ivf_load_index(spark, path)
+    assert cents2 == cents
+    got = {
+        (r.query_id, r.vec_id): (r.cosine, r.rank)
+        for r in ivf_query(cents2, assigned2, q, k=5, n_probe=3).collect()
+    }
+    assert got == direct
+    cells = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
+    assert len(cells) > 1
