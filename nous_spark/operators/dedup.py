@@ -318,3 +318,26 @@ def simhash_near_duplicates(
         .select("a", "b", "hamming")
     )
     return pairs
+
+
+def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
+                            b_col: str = "b") -> DataFrame:
+    """Turn near-duplicate PAIRS into a keep/drop decision: transitive
+    closure over the pair graph (near-dup is not transitive in general,
+    but dedup policy must be — if a~b and b~c, keeping both a and c
+    leaves two near-copies of b in the corpus). Hash-to-min connected
+    components; keeper = min id per cluster.
+
+    Returns (id, keeper_id) for every id that appears in a pair; rows
+    with id != keeper_id form the drop list. Compose:
+
+        pairs = minhash_near_duplicates(docs, ...)
+        drops = near_duplicate_clusters(pairs).filter("id != keeper_id")
+        clean = docs.join(drops, docs.doc_id == drops.id, "left_anti")
+    """
+    from nous_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    return comp.select("id", F.col("component").alias("keeper_id"))

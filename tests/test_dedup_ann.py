@@ -170,3 +170,22 @@ def test_ivf_index_roundtrip_matches_direct(spark, sf_dir, tmp_path):
     assert got == direct
     cells = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
     assert len(cells) > 1
+
+
+def test_near_duplicate_clusters_transitive_keep(spark):
+    """a~b, b~c collapse into one cluster kept by min id; disjoint pair
+    keeps its own keeper; left_anti drop flow leaves one doc per
+    cluster."""
+    from nous_spark.operators.dedup import near_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a", "b"]
+    )
+    m = {r.id: r.keeper_id for r in near_duplicate_clusters(pairs).collect()}
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 10, 11, 99]], ["doc_id", "text"]
+    )
+    drops = near_duplicate_clusters(pairs).filter("id != keeper_id")
+    clean = docs.join(drops, docs.doc_id == drops.id, "left_anti")
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 10, 99]
