@@ -341,3 +341,45 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
     return comp.select("id", F.col("component").alias("keeper_id"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 13,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination: find training docs sharing word
+    n-grams with any benchmark item (the standard 13-gram collision test
+    — a training doc that contains an eval question verbatim shares long
+    n-grams with it).
+
+    Plan shape: both sides shingle to 64-bit hashes, the join key IS the
+    shingle hash — candidates are generated by collision, never by
+    pairing documents, so cost is proportional to actual overlap, not
+    |docs|·|eval|. The eval side (benchmarks are small next to a 100 TB
+    corpus) is broadcast. Returns (doc_id, eval_id, n_collisions) with
+    n_collisions = number of DISTINCT shared n-grams; filter/join the
+    result to quarantine contaminated docs:
+
+        bad = contamination_check(docs, eval_df).select("doc_id").distinct()
+        clean = docs.join(bad, "doc_id", "left_anti")
+    """
+    d = shingles(docs, text_col, id_col, n).select(
+        F.col("id").alias("doc_id"),
+        F.explode("shingle_hashes").alias("gram"),
+    )
+    e = shingles(eval_set, eval_text_col, eval_id_col, n).select(
+        F.col("id").alias("eval_id"),
+        F.explode("shingle_hashes").alias("gram"),
+    )
+    return (
+        d.join(F.broadcast(e), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("gram").alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+    )

@@ -189,3 +189,31 @@ def test_near_duplicate_clusters_transitive_keep(spark):
     drops = near_duplicate_clusters(pairs).filter("id != keeper_id")
     clean = docs.join(drops, docs.doc_id == drops.id, "left_anti")
     assert sorted(r.doc_id for r in clean.collect()) == [1, 10, 99]
+
+
+def test_contamination_check(spark):
+    """A training doc embedding an eval item verbatim is flagged; docs
+    sharing only short/common phrasing are not (13-gram granularity)."""
+    from nous_spark.operators.dedup import contamination_check
+
+    eval_q = ("what is the capital of france and which river runs "
+              "through it on the way to the sea tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text " + eval_q + " outro text"),        # verbatim
+            (2, "what is the capital of germany, a question " +
+                "with entirely different words and structure here " +
+                "that goes on for quite a while longer than that"),
+            (3, "totally unrelated document about spark shuffles " +
+                "partitions and adaptive query execution at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, eval_q)], ["eval_id", "text"])
+    hits = contamination_check(docs, ev, n=13).collect()
+    assert {(r.doc_id, r.eval_id) for r in hits} == {(1, 100)}
+    assert all(r.n_collisions >= 1 for r in hits)
+    # quarantine flow
+    bad = contamination_check(docs, ev).select("doc_id").distinct()
+    clean = docs.join(bad, "doc_id", "left_anti")
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
