@@ -97,3 +97,70 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace/case-insensitive rolling-hash analog, JVM-side."""
     norm = F.concat_ws(" ", _tokens(F.lower(F.col(text_col))))
     return df.withColumn("fingerprint", F.xxhash64(norm))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    filters for boilerplate/spam in training corpora — as pure column
+    expressions (no UDFs):
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats of
+      an earlier line
+    - ``dup_para_frac``: same over blank-line-separated paragraphs
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (a high value marks mantra-like repetition even when
+      no full line repeats)
+
+    The bigram mode count is computed per row inside one ``aggregate``
+    over the SORTED bigram-hash array (longest equal run == highest
+    multiplicity) — no explode/groupBy shuffle, so the operator stays a
+    single scan at any corpus size."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    paras = F.filter(F.split(c, r"\n\s*\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(arr)))
+                    / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    # _tokens keeps empty tokens from leading/trailing whitespace — drop
+    # them so bigrams pair real words only
+    toks = F.filter(_tokens(c), lambda x: F.length(x) > 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    mode_cnt = F.aggregate(
+        F.array_sort(grams), acc0, step, lambda acc: acc["best"]
+    )
+    top_bigram = F.when(
+        F.size(grams) > 0,
+        F.round(mode_cnt / F.size(grams).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_line_frac", dup_frac(lines))
+        .withColumn("dup_para_frac", dup_frac(paras))
+        .withColumn("top_bigram_frac", top_bigram)
+    )

@@ -300,3 +300,36 @@ def test_read_source_table_resolution(spark, tmp_path):
     df.createOrReplaceTempView("nr_source_tbl")
     got = read_source_table(spark, "nr_source_tbl")
     assert got.count() == 1 and got.columns == df.columns
+
+
+def test_repetition_scores(spark):
+    """Repetitive docs score high on the Gopher-style signals; varied
+    prose scores low; NumPy-free Python recompute is the oracle."""
+    from nous_spark.operators.textstats import repetition_scores
+
+    spam = "buy now\n" * 6 + "limited offer\n"
+    mantra = "foo bar " * 10 + "end"
+    clean = ("first line here\n\nsecond paragraph entirely different\n\n"
+             "third one with other words again")
+    docs = spark.createDataFrame(
+        [(1, spam), (2, mantra), (3, clean)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    # spam: 7 non-empty lines, 2 distinct -> 5/7 duplicated
+    assert abs(out[1].dup_line_frac - 5 / 7) < 1e-6
+    # mantra: bigram "foo bar" (and "bar foo") dominates
+    assert out[2].top_bigram_frac > 0.4
+    assert out[2].dup_line_frac == 0.0  # single line
+    assert out[3].dup_line_frac == 0.0
+    assert out[3].dup_para_frac == 0.0
+    assert out[3].top_bigram_frac <= 0.2
+
+    def py_top_bigram(text):
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            return 0.0
+        return round(max(grams.count(g) for g in set(grams)) / len(grams), 6)
+
+    for did, text in [(1, spam), (2, mantra), (3, clean)]:
+        assert abs(out[did].top_bigram_frac - py_top_bigram(text)) < 1e-6
