@@ -164,3 +164,45 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_para_frac", dup_frac(paras))
         .withColumn("top_bigram_frac", top_bigram)
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram token entropy per document (nats): H = ln N − (1/N)·Σ c·ln c
+    over token multiplicities c. Low entropy marks template/repetitive
+    text that the dup-fraction signals can miss (every line distinct but
+    drawn from a tiny vocabulary).
+
+    Single pass, no shuffle: one ``aggregate`` over the SORTED token-hash
+    array accumulates Σ c·ln c at run boundaries — the token histogram is
+    never materialized."""
+    c = F.col(text_col)
+    toks = F.filter(_tokens(c), lambda x: F.length(x) > 0)
+    hashes = F.array_sort(F.transform(toks, lambda t: F.xxhash64(t)))
+    n = F.size(hashes)
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1.0).otherwise(F.lit(1.0))
+        closed = F.when(
+            same | acc["prev"].isNull(), F.lit(0.0)
+        ).otherwise(acc["run"] * F.log(acc["run"]))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            (acc["s"] + closed).alias("s"),
+        )
+
+    s = F.aggregate(
+        hashes, acc0, step,
+        lambda acc: acc["s"] + F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"])
+        ).otherwise(F.lit(0.0)),
+    )
+    ent = F.when(
+        n > 0, F.round(F.log(n.cast("double")) - s / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("token_entropy", ent)

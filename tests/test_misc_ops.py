@@ -333,3 +333,34 @@ def test_repetition_scores(spark):
 
     for did, text in [(1, spam), (2, mantra), (3, clean)]:
         assert abs(out[did].top_bigram_frac - py_top_bigram(text)) < 1e-6
+
+
+def test_token_entropy(spark):
+    """Matches a plain-Python entropy recompute; template text scores far
+    below varied prose."""
+    import math
+    from collections import Counter
+
+    from nous_spark.operators.textstats import token_entropy
+
+    template = "item ok item ok item ok item ok item ok"
+    varied = "the quick brown fox jumps over one lazy dog near riverbanks"
+    docs = spark.createDataFrame(
+        [(1, template), (2, varied), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.token_entropy for r in token_entropy(docs).collect()}
+
+    def py_entropy(text):
+        toks = text.strip().lower().split()
+        if not toks:
+            return 0.0
+        n = len(toks)
+        return round(
+            math.log(n) - sum(c * math.log(c) for c in Counter(toks).values()) / n,
+            6,
+        )
+
+    for did, t in [(1, template), (2, varied)]:
+        assert abs(out[did] - py_entropy(t)) < 1e-6, (did, out[did], py_entropy(t))
+    assert out[3] == 0.0
+    assert out[1] < 1.0 < out[2]
