@@ -114,6 +114,11 @@ def power_iteration_clustering(
         v.select("v").limit(_KMEANS_DRIVER_CAP + 1).toPandas()["v"]
         .to_numpy(dtype=np.float64)
     )
+    # sort before the NumPy Lloyd rounds: per-cluster float means (and
+    # argmin ULP ties) must not depend on toPandas partition-arrival
+    # order — same layout-independence contract as the BPR trainer. The
+    # driver loop only ever uses the value multiset, so sorting is free.
+    vals = np.sort(vals)
     if len(vals) <= _KMEANS_DRIVER_CAP:
         norm = float(np.abs(vals).sum()) or 1.0
         v = v.select("id", (F.col("v") / F.lit(norm)).alias("v"))

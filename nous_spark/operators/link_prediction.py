@@ -294,10 +294,15 @@ def bpr_evaluate(
                 # independent of partition layout
                 rng = np.random.default_rng((seed, int(r.user), t))
                 negs: list[int] = []
-                while len(negs) < K:
+                # bounded rejection (same contract as _reject_draw): when
+                # excl covers almost all of [0, n_items) the acceptance
+                # probability per round is tiny — cap the rounds and accept
+                # fewer than K negatives instead of looping unboundedly.
+                # Draw sequence is unchanged unless the cap is hit.
+                for _ in range(64):
                     cand = rng.integers(0, n_items, 4 * K)
                     negs.extend(int(c) for c in cand if int(c) not in excl)
-                    if len(excl) >= n_items:  # no negatives exist
+                    if len(negs) >= K or len(excl) >= n_items:
                         break
                 if not negs:
                     continue
@@ -639,7 +644,8 @@ def bpr_train_distributed(
             _, touched = _draw_trace(pdf, n_items, steps_per_user, ep_seed)
             return pd.DataFrame(
                 {"block": blk, "item": sorted(touched)}
-            ) if touched else pd.DataFrame({"block": [], "item": []})
+            ) if touched else pd.DataFrame({"block": pd.Series(dtype="int32"),
+                          "item": pd.Series(dtype="int64")})
 
         touched = joined.groupBy("__block").applyInPandas(touch, _TOUCH_SCHEMA)
         bitems = touched.join(items, "item").select("block", "item", "qf", "b")
@@ -753,10 +759,12 @@ def bpr_evaluate_distributed(
         for t in tests:
             rng = np.random.default_rng((seed, user, t))
             negs: list[int] = []
-            while len(negs) < K:
+            # bounded rejection — mirrors solve_sampled exactly (the two
+            # draw sequences must stay bit-identical for parity)
+            for _ in range(64):
                 cand = rng.integers(0, n_items, 4 * K)
                 negs.extend(int(c) for c in cand if int(c) not in excl)
-                if len(excl) >= n_items:
+                if len(negs) >= K or len(excl) >= n_items:
                     break
             out[t] = negs[:K]
         return out
@@ -772,7 +780,8 @@ def bpr_evaluate_distributed(
                 items_needed.add(t)
                 items_needed.update(negs)
         return pd.DataFrame({"block": part, "item": sorted(items_needed)}) \
-            if items_needed else pd.DataFrame({"block": [], "item": []})
+            if items_needed else pd.DataFrame({"block": pd.Series(dtype="int32"),
+                          "item": pd.Series(dtype="int64")})
 
     touched = per_user.groupBy("__part").applyInPandas(needed, _TOUCH_SCHEMA)
     fitems = touched.join(items, "item").select("block", "item", "qf", "b")

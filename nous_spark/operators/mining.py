@@ -107,13 +107,28 @@ def grow_patterns(instances: DataFrame, cur_batch: int | None = None,
         F.explode("endpoints").alias("endpoint"),
     )
     if per_key_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("endpoint").orderBy("inst_id")
+        # skew guard, hash-sample form (same pattern as the token cap in
+        # linking.py): a per-endpoint row_number window lands deg(hub)
+        # rows in ONE task for a 10^6-degree hub — the count-aggregate +
+        # modulo filter below is an ordinary shuffle agg plus a map-side
+        # filter, so no single task ever sees a whole hub. Endpoints at
+        # or under the cap keep every instance (bit-identical to the
+        # uncapped join); hubs keep a deterministic ~cap-sized sample
+        # that is a pure function of (inst_id, endpoint), not of layout.
+        ep_counts = pts.groupBy("endpoint").agg(F.count("*").alias("__ec"))
         pts = (
-            pts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= per_key_cap)
-            .drop("__rn")
+            pts.join(ep_counts, "endpoint")
+            .filter(
+                (F.col("__ec") <= per_key_cap)
+                | (
+                    F.pmod(
+                        F.xxhash64("inst_id", "endpoint"),
+                        F.ceil(F.col("__ec") / F.lit(per_key_cap)).cast("long"),
+                    )
+                    == 0
+                )
+            )
+            .drop("__ec")
         )
     left = pts.alias("l")
     right = pts.alias("r")

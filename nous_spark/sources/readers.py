@@ -346,7 +346,15 @@ def read_source_table(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.parquet(ref)
     try:
         return spark.read.format("iceberg").load(ref)
-    except Exception:
-        # no Iceberg runtime jar (this sandbox) or not an Iceberg ref —
-        # fall through to the session catalog
+    except Exception as exc:
+        # fall through to the session catalog ONLY when the Iceberg
+        # datasource itself is absent (this sandbox has no runtime jar) —
+        # a real Iceberg failure (auth, corrupt snapshot metadata) must
+        # surface as itself, not as a misleading catalog lookup error
+        msg = str(exc)
+        if not any(s in msg for s in (
+            "Failed to find data source", "DATA_SOURCE_NOT_FOUND",
+            "ClassNotFoundException", "Multiple sources found",
+        )):
+            raise
         return spark.table(ref)

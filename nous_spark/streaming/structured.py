@@ -154,6 +154,7 @@ def streaming_minhash_candidates(
     bands: int = 8,
     threshold: float = 0.7,
     state_cap: int = 256,
+    bucket_ttl_ms: int = 6 * 3600 * 1000,
 ) -> DataFrame:
     """Streaming MinHash near-dup candidates: cross-batch LSH-bucket state
     via applyInPandasWithState.
@@ -167,8 +168,11 @@ def streaming_minhash_candidates(
     unbiased Jaccard estimator) — no shingle sets in state, just
     num_hashes longs per doc per band. State per bucket is capped at
     ``state_cap`` entries (FIFO eviction) so one degenerate bucket cannot
-    grow without bound; a pair colliding in several bands is emitted once
-    per band — downstream dedups on (a, b) (within a watermark when
+    grow without bound, and buckets idle longer than ``bucket_ttl_ms``
+    are dropped via a processing-time timeout — without the TTL the
+    NUMBER of buckets (not their size) grows for the lifetime of a
+    long-running stream; a pair colliding in several bands is emitted
+    once per band — downstream dedups on (a, b) (within a watermark when
     streaming).
 
     Signature computation reuses the batch column expressions (shingles →
@@ -196,6 +200,11 @@ def streaming_minhash_candidates(
     ).select("id", "signature", "bh.band", "bh.band_hash")
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # bucket saw no arrivals for bucket_ttl_ms — drop its state;
+            # a later arrival simply re-creates the bucket empty
+            state.remove()
+            return
         ids, sigs = ([], []) if not state.exists else [
             list(x) for x in state.get
         ]
@@ -220,6 +229,7 @@ def streaming_minhash_candidates(
         if len(ids) > state_cap:
             ids, sigs = ids[-state_cap:], sigs[-state_cap:]
         state.update((ids, sigs))
+        state.setTimeoutDuration(bucket_ttl_ms)
         if out_a:
             yield pd.DataFrame(
                 {"band": int(key[0]), "a": out_a, "b": out_b,
@@ -227,5 +237,6 @@ def streaming_minhash_candidates(
             )
 
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
-        update, _MHSTATE_OUT, _MHSTATE_STATE, "append", "NoTimeout",
+        update, _MHSTATE_OUT, _MHSTATE_STATE, "append",
+        "ProcessingTimeTimeout",
     )

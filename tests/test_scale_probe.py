@@ -109,3 +109,40 @@ def test_ngram_prefix_block_candidates_stay_linear(spark):
     cK = cand(amplified_documents(spark, SF, FACTOR))
     assert c1 > 0
     assert cK <= c1 * FACTOR * C, (c1, cK)
+
+
+def test_grow_patterns_hub_cap_bounds_pairs(spark):
+    """grow_patterns' per_key_cap must bound the self-join fan-out of a
+    hub endpoint WITHOUT a per-key window (a row_number over a 10^6-degree
+    hub would land the whole hub in one task). A 40k-instance hub with
+    cap=100 must emit O(cap^2) pairs, not O(deg^2)/2 = 8*10^8; endpoints
+    at or under the cap must keep the exact uncapped result."""
+    from nous_spark.operators.mining import grow_patterns
+
+    hub = spark.range(40_000).select(
+        F.lit("p").alias("pattern_key"),
+        F.array(F.col("id")).alias("binding"),
+        F.array(F.lit(7).cast("long")).alias("endpoints"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.col("id").alias("inst_id"),
+    )
+    n = grow_patterns(hub, per_key_cap=100).count()
+    # divisor = ceil(40000/100) = 400 -> E[kept] = 100; allow 4x slack on
+    # the binomial tail squared
+    assert 0 < n <= (4 * 100) ** 2 / 2, n
+
+    small = spark.range(40).select(
+        F.lit("p").alias("pattern_key"),
+        F.array(F.col("id")).alias("binding"),
+        F.pmod(F.col("id"), F.lit(5)).alias("ep"),
+    ).select(
+        "pattern_key", "binding",
+        F.array(F.col("ep").cast("long")).alias("endpoints"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.col("binding").getItem(0).alias("inst_id"),
+    )
+    capped = {tuple(r) for r in grow_patterns(small, per_key_cap=100)
+              .select("pattern_key", "inst_id").collect()}
+    free = {tuple(r) for r in grow_patterns(small, per_key_cap=None)
+            .select("pattern_key", "inst_id").collect()}
+    assert capped == free and len(free) > 0
