@@ -895,6 +895,159 @@ def _q_extract_triples(spark, sf):  # flagship, rows-only check
     )
 
 
+def _q_repetition_scores(spark, sf):  # Gopher-style repetition signals
+    from nous_spark.operators.textstats import repetition_scores
+
+    return repetition_scores(_read(spark, sf, "documents")).select(
+        "doc_id", "dup_line_frac", "dup_para_frac", "top_bigram_frac"
+    )
+
+
+def _q_token_entropy(spark, sf):  # unigram entropy (low-vocab template text)
+    from nous_spark.operators.textstats import token_entropy
+
+    return token_entropy(_read(spark, sf, "documents")).select(
+        "doc_id", "token_entropy"
+    )
+
+
+def _q_contamination(spark, sf):  # train/eval 13-gram decontamination
+    from nous_spark.operators.dedup import contamination_check
+
+    docs = _read(spark, sf, "documents")
+    # deterministic benchmark stand-in: every 37th doc IS an eval item, so
+    # each eval doc must at minimum collide with itself (self-collision
+    # count = its distinct 13-gram count) and with any true near-copy
+    ev = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_check(
+        docs, ev, n=13, eval_id_col="eval_id"
+    ).select("doc_id", "eval_id", F.col("n_collisions").cast("long").alias("n_collisions"))
+
+
+def _q_near_dup_clusters(spark, sf):  # pairs -> transitive keep/drop
+    from nous_spark.operators.dedup import near_duplicate_clusters
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    # chain pairs (doc, doc+1) with token-Jaccard >= 0.8: ~20% of
+    # consecutive docs pass at sf0.01, so islands (maximal runs) are
+    # nontrivial and CC must close chains transitively, not just stars
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.size(F.array_union("a.toks", "b.toks")).cast("double"),
+                6,
+            )
+            >= 0.8
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    return near_duplicate_clusters(pairs).select("id", "keeper_id")
+
+
+def _q_ann_ivf_query(spark, sf):  # IVF build-once index + query
+    from nous_spark.operators.ann import ivf_build_index, ivf_query
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents, assigned = ivf_build_index(emb, dim=dim, n_cells=8)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query(cents, assigned, q, k=10, n_probe=3).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+def _q_str_exact_dedup(spark, sf):  # streaming exact dedup (§2.9)
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_exact_dedup
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    with_ts = docs.select(
+        "doc_id", "text",
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+    src = tempfile.mkdtemp(prefix="strdedup_src_")
+    # two files -> two microbatches under maxFilesPerTrigger=1. The sf
+    # documents have no exact-duplicate texts, so batch 2 carries planted
+    # REPLAYS of batch-1 docs (new ids, same text, later ts): the dedup
+    # state must drop them ACROSS the batch boundary, which is the whole
+    # point of the streaming form
+    batch1 = with_ts.filter(F.col("doc_id") < 150)
+    replays = batch1.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text",
+        (F.col("ts") + F.make_interval(secs=F.lit(200.0))).alias("ts"),
+    )
+    batch2 = with_ts.filter(F.col("doc_id") >= 150).unionByName(replays)
+    for b in (batch1, batch2):
+        (b.coalesce(1).sortWithinPartitions("doc_id")
+         .write.mode("append").parquet(src))
+
+    name = "gate_strdedup"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # WHICH duplicate survives depends on arrival order — the gate pins
+    # the order-independent contract: exactly one row per distinct text
+    return spark.table(name).select("text_hash", "text")
+
+
+def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_minhash_candidates
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 250).select(
+        "doc_id", "text", "lang"
+    )
+    src = tempfile.mkdtemp(prefix="strmh_src_")
+    for lo, hi in ((0, 125), (125, 250)):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).sortWithinPartitions("doc_id")
+         .write.mode("append").parquet(src))
+
+    name = "gate_strmh"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_minhash_candidates(stream, threshold=0.8)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # the emitted (band, a, b, est) SET is batching-independent (every
+    # co-bucketed pair is compared exactly once per band as long as the
+    # state cap is not hit — 250 docs < cap 256)
+    return spark.table(name).select(
+        "band", "a", "b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).dropDuplicates()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness evaluates the
     # registry in order and verifies the first 50 — the top 50 are curated
@@ -976,6 +1129,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_triples": _q_extract_triples,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
+        # ---- round-5: the training-data + streaming ops gained in round
+        # 4 get their own oracled gates (also past the cap; verified by
+        # scripts/gate_check.py): DuckDB SQL where expressible, VALUES
+        # oracles with independent verifiers (NumPy cosine, batch-parity
+        # state-machine re-derivation) for the hash-family ops ----
+        "txt_repetition_scores": _q_repetition_scores,
+        "txt_token_entropy": _q_token_entropy,
+        "dd_contamination": _q_contamination,
+        "dd_near_dup_clusters": _q_near_dup_clusters,
+        "ann_ivf_query": _q_ann_ivf_query,
+        "str_exact_dedup": _q_str_exact_dedup,
+        "str_minhash_cands": _q_str_minhash_cands,
     }
 
 
@@ -1559,6 +1724,95 @@ def oracle_sql() -> dict[str, str]:
                          OR score > mx - (mx - mn) / 100 * 10)
             SELECT src, dst, pred FROM e
             WHERE src IN (SELECT id FROM tails) OR dst IN (SELECT id FROM tails)
+        """,
+        "txt_repetition_scores": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split(text, chr(10)),
+                                 x -> len(trim(x)) > 0) AS lines,
+                     list_filter(regexp_split_to_array(text, '\\n\\s*\\n'),
+                                 x -> len(trim(x)) > 0) AS paras,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i+1] || ' ' || toks[i+2])
+                          ELSE []::VARCHAR[] END AS grams
+              FROM t),
+            m AS (
+              SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+              CASE WHEN len(lines) > 0
+                   THEN round((len(lines) - len(list_distinct(lines)))
+                              / len(lines)::DOUBLE, 6) ELSE 0.0 END
+                AS dup_line_frac,
+              CASE WHEN len(paras) > 0
+                   THEN round((len(paras) - len(list_distinct(paras)))
+                              / len(paras)::DOUBLE, 6) ELSE 0.0 END
+                AS dup_para_frac,
+              CASE WHEN len(g.grams) > 0
+                   THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM t JOIN g USING (doc_id) LEFT JOIN m USING (doc_id)
+        """,
+        "txt_token_entropy": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> len(x) > 0) AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, count(*)::DOUBLE AS c
+                  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                  GROUP BY doc_id, tok),
+            s AS (SELECT doc_id, sum(c * ln(c)) AS s FROM c GROUP BY doc_id)
+            SELECT t.doc_id,
+              CASE WHEN len(t.toks) > 0
+                   THEN round(ln(len(t.toks)::DOUBLE) - s.s / len(t.toks), 6)
+                   ELSE 0.0 END AS token_entropy
+            FROM t LEFT JOIN s USING (doc_id)
+        """,
+        "dd_contamination": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                         FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           range(greatest(len(toks) - 13, 0) + 1),
+                           i -> array_to_string(toks[i+1:i+13], ' '))) AS grams
+                  FROM tok),
+            d AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            e AS (SELECT doc_id AS eval_id, gram FROM d WHERE doc_id % 37 = 0)
+            SELECT d.doc_id, e.eval_id,
+                   count(DISTINCT d.gram)::BIGINT AS n_collisions
+            FROM d JOIN e ON d.gram = e.gram
+            GROUP BY d.doc_id, e.eval_id
+            HAVING count(DISTINCT d.gram) >= 1
+        """,
+        "dd_near_dup_clusters": """
+            WITH t AS (SELECT doc_id,
+                              list_distinct(regexp_split_to_array(
+                                trim(lower(text)), '\\s+')) AS toks
+                       FROM documents),
+            p AS (SELECT a.doc_id AS a
+                  FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+                  WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                              / len(list_distinct(a.toks || b.toks)), 6)
+                        >= 0.8),
+            i AS (SELECT a, a - row_number() OVER (ORDER BY a) AS grp FROM p),
+            isl AS (SELECT min(a) AS lo, max(a) AS hi FROM i GROUP BY grp)
+            SELECT unnest(range(lo, hi + 2))::BIGINT AS id,
+                   lo::BIGINT AS keeper_id
+            FROM isl
+        """,
+        "str_exact_dedup": """
+            SELECT DISTINCT md5(text) AS text_hash, text
+            FROM documents WHERE doc_id < 300
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

@@ -42,6 +42,12 @@ GATES = [
     "kg_extract_triples",
     "j2_candidate_pairs_stringsim",
     "f8_string_sim",
+    # round-5: IVF serve-path query (NumPy cosine + self-recovery checks)
+    # and the streaming cross-batch LSH candidates (batch state-machine
+    # re-derivation from the signatures, which are themselves pinned by
+    # the dd_minhash true-Jaccard verifier)
+    "ann_ivf_query",
+    "str_minhash_cands",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -159,6 +165,80 @@ def main() -> None:
     print("kg_extract_triples: independent sha256-lineage check OK")
     verify_stringsim_invariants(spark)
     print("j2/f8 stringsim: independent blocking/bounds checks OK")
+
+    verify_ann_ivf(spark)
+    print("ann_ivf_query: independent cosine/self-recovery check OK")
+    verify_streaming_minhash(spark)
+    print("str_minhash_cands: batch state-machine re-derivation OK")
+
+
+def verify_ann_ivf(spark) -> None:
+    """Every oracle row's cosine must equal the NumPy cosine of the
+    (query, vector) pair; ranks dense + ordered by (cosine desc, vec_id);
+    and since each query vector IS a corpus member whose own cell is its
+    top-1 probe, the query itself (cosine 1.0) must come back at rank 1."""
+    emb = _load_embeddings()
+    names, rows = _oracle_rows("ann_ivf_query")
+    per_q: dict[int, list] = {}
+    for r in rows:
+        q, vid, cos, rank = (
+            int(r[names.index("query_id")]), int(r[names.index("vec_id")]),
+            float(r[names.index("cosine")]), int(r[names.index("rank")]))
+        assert abs(_cos(emb[q], emb[vid]) - cos) <= 1.5e-6, (q, vid, cos)
+        per_q.setdefault(q, []).append((rank, cos, vid))
+    assert set(per_q) == {0, 1, 2}
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 10
+        keys = [(-c, v) for _, c, v in lst]
+        assert keys == sorted(keys), f"rank order broken for query {q}"
+        assert lst[0][2] == q and abs(lst[0][1] - 1.0) <= 1.5e-6, (
+            f"query {q} did not recover itself at rank 1: {lst[0]}")
+
+
+def verify_streaming_minhash(spark) -> None:
+    """Re-derive the expected candidate set from the BATCH signature
+    operator in plain Python: bucket docs per band by the TUPLE of the
+    band's signature slice (bucket equality == band-hash equality modulo
+    xxhash collisions), emit every intra-bucket pair whose equal-component
+    fraction >= threshold. The streaming state machine must produce
+    exactly this set regardless of microbatch boundaries."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.dedup import minhash_signatures, shingles
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 250)
+    )
+    sig_rows = minhash_signatures(shingles(docs)).collect()
+    sigs = {int(r.id): list(r.signature) for r in sig_rows}
+    bands, rpb, thr = 8, 4, 0.8
+    want = set()
+    for band in range(bands):
+        buckets: dict[tuple, list[int]] = {}
+        for i, s in sigs.items():
+            buckets.setdefault(tuple(s[band * rpb:(band + 1) * rpb]), []).append(i)
+        for ids in buckets.values():
+            ids.sort()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    a, b = ids[x], ids[y]
+                    est = sum(
+                        u == v for u, v in zip(sigs[a], sigs[b])
+                    ) / len(sigs[a])
+                    if est >= thr:
+                        want.add((band, a, b, round(est, 6)))
+    names, rows = _oracle_rows("str_minhash_cands")
+    got = {
+        (int(r[names.index("band")]), int(r[names.index("a")]),
+         int(r[names.index("b")]), round(float(r[names.index("est_jaccard")]), 6))
+        for r in rows
+    }
+    assert got == want, (
+        f"streaming minhash oracle != batch re-derivation: "
+        f"only-oracle={got - want} only-batch={want - got}")
 
 
 def verify_g7_against_numpy(spark) -> None:
