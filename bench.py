@@ -75,6 +75,13 @@ def main() -> None:
     # apart) — a single timing is noise. Best-of-REPS per query (default
     # 2) is recorded explicitly in the output ("reps"/"agg").
     reps = int(os.environ.get("NOUS_BENCH_REPS", "2"))
+    # PER-QUERY bandwidth probe (round-4 lesson: a clean run-start probe
+    # does not clear a query that ran minutes later in a contended
+    # window — r4's dd_simhash 5.7 s had a 0.10 s run probe). ~0.1 s per
+    # probe on a clean host; read any slow query against ITS probe.
+    from scripts.scaling_bench import host_bandwidth_probe, host_health_probe
+
+    bw_per_query: dict[str, float] = {}
     for name, sink in [(n, timings) for n in headline] + [
         (n, ext_timings) for n in extended
     ]:
@@ -86,7 +93,9 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         sink[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {best:.2f}s (best of {reps})",
+        bw_per_query[name] = round(host_bandwidth_probe(), 4)
+        print(f"# {name}: {n} rows in {best:.2f}s (best of {reps}, "
+              f"bw_probe {bw_per_query[name]:.2f}s)",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -94,8 +103,6 @@ def main() -> None:
     # host-tenancy context (see scripts/scaling_bench.py): cpu ~0.05s and
     # bw ~0.13s on a clean window; multiples mean the wall numbers above
     # were taken on a contended host, not a slower engine
-    from scripts.scaling_bench import host_bandwidth_probe, host_health_probe
-
     probes = {
         "host_cpu_probe_sec": host_health_probe(),
         "host_bw_probe_sec": host_bandwidth_probe(),
@@ -112,6 +119,7 @@ def main() -> None:
         "extended_wall": round(sum(ext_timings.values()), 3),
         "reps": reps,
         "agg": "min",
+        "query_bw_probe_sec": bw_per_query,
         **probes,
     }
     print(json.dumps(out))

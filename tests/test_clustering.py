@@ -96,3 +96,27 @@ def test_pic_weight_filter_and_symmetry(spark):
     by_id = {r.id: r.cluster for r in out}
     assert by_id[0] == by_id[1]
     assert by_id[2] == by_id[3]
+
+
+def test_pic_driver_path_matches_distributed(spark, two_cliques):
+    """The small-graph driver fast path (one Arrow collect + NumPy loop)
+    must produce the same clustering as the distributed matvec path with
+    the same "random" init (forced via driver_edge_cap=0)."""
+    sim = spark.createDataFrame(two_cliques, ["src", "dst", "weight"])
+    fast = power_iteration_clustering(sim, k=2, max_iter=10).collect()
+    dist = power_iteration_clustering(
+        sim, k=2, max_iter=10, driver_edge_cap=0
+    ).collect()
+    groups_f, groups_d = {}, {}
+    for r in fast:
+        groups_f.setdefault(r.cluster, set()).add(r.id)
+    for r in dist:
+        groups_d.setdefault(r.cluster, set()).add(r.id)
+    assert sorted(map(sorted, groups_f.values())) == sorted(
+        map(sorted, groups_d.values())
+    )
+    # embeddings agree to float tolerance (summation order may differ)
+    emb_f = {r.id: r.embedding for r in fast}
+    emb_d = {r.id: r.embedding for r in dist}
+    for i in emb_f:
+        assert abs(emb_f[i] - emb_d[i]) < 1e-9
