@@ -1048,6 +1048,33 @@ def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
     ).dropDuplicates()
 
 
+def _q_corpus_clean(spark, sf):  # end-to-end curation funnel, one plan
+    from nous_spark.operators.curation import clean_corpus
+
+    docs = _read(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.size(F.array_union("a.toks", "b.toks")).cast("double"),
+                6,
+            )
+            >= 0.8
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    return clean_corpus(
+        docs, langs=("en",), min_tokens=15, max_dup_line_frac=0.3,
+        max_top_bigram_frac=0.12, near_dup_pairs=pairs,
+    ).select("doc_id", "n_chars", "keep_reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness evaluates the
     # registry in order and verifies the first 50 — the top 50 are curated
@@ -1141,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_query": _q_ann_ivf_query,
         "str_exact_dedup": _q_str_exact_dedup,
         "str_minhash_cands": _q_str_minhash_cands,
+        "corpus_clean": _q_corpus_clean,
     }
 
 
@@ -1813,6 +1841,83 @@ def oracle_sql() -> dict[str, str]:
         "str_exact_dedup": """
             SELECT DISTINCT md5(text) AS text_hash, text
             FROM documents WHERE doc_id < 300
+        """,
+        "corpus_clean": """
+            WITH lt AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM documents),
+            ls AS (SELECT doc_id,
+              len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM lt),
+            lang AS (SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM ls),
+            rt AS (SELECT doc_id,
+                list_filter(str_split(text, chr(10)),
+                            x -> len(trim(x)) > 0) AS lines,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            feat AS (SELECT d.doc_id, d.text, d.n_chars, lang.lang_pred,
+                CASE WHEN length(trim(d.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN len(rt.lines) > 0
+                     THEN round((len(rt.lines) - len(list_distinct(rt.lines)))
+                                / len(rt.lines)::DOUBLE, 6) ELSE 0.0 END
+                  AS dup_line_frac,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM documents d
+              JOIN lang USING (doc_id) JOIN rt USING (doc_id)
+              JOIN g USING (doc_id) LEFT JOIN m USING (doc_id)),
+            f AS (SELECT * FROM feat
+                  WHERE lang_pred = 'en' AND n_tokens >= 15
+                    AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.12),
+            keep AS (SELECT * FROM (
+                SELECT f.*, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+                FROM f) WHERE doc_id = k),
+            jt AS (SELECT doc_id,
+                list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS toks FROM documents),
+            p AS (SELECT a.doc_id AS a
+                  FROM jt a JOIN jt b ON a.doc_id + 1 = b.doc_id
+                  WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                              / len(list_distinct(a.toks || b.toks)), 6)
+                        >= 0.8),
+            i AS (SELECT a, a - row_number() OVER (ORDER BY a) AS grp FROM p),
+            isl AS (SELECT min(a) AS lo, max(a) AS hi FROM i GROUP BY grp),
+            members AS (SELECT unnest(range(lo, hi + 2)) AS id, lo AS keeper
+                        FROM isl),
+            drops AS (SELECT id FROM members WHERE id != keeper)
+            SELECT doc_id, n_chars,
+                   'lang+quality+repetition+exact_keeper+near_dup_keeper'
+                   AS keep_reason
+            FROM keep
+            WHERE doc_id NOT IN (SELECT id FROM drops)
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

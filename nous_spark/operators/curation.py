@@ -1,0 +1,93 @@
+"""End-to-end training-corpus curation as ONE declarative plan.
+
+Composes the individually-gated signals (language ID, quality scores,
+Gopher repetition fractions, exact-dedup keeper, near-dup cluster keeper)
+into a single keep/drop decision per document — the standard cleaning
+funnel in front of LLM pretraining (filter → dedup → near-dedup).
+
+Everything stays a Catalyst plan: the scalar signals are pure column
+expressions computed in the SAME scan (no second pass over the text),
+and the two dedup stages are the existing groupBy / connected-components
+operators joined back by key. At 100 TB the plan is: one full scan
+producing (doc, signals, text_hash), one hash-shuffle for the exact
+keeper, the near-dup pair join, and a left_anti drop — no driver
+materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    near_dup_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Return the KEPT documents (original columns) plus a ``keep_reason``
+    trail of which filters passed; dropped docs are simply absent.
+
+    Stages, in the order a 100 TB run wants them (cheap column filters
+    first so the shuffle stages see only survivors):
+
+    1. language: ``language_id`` prediction must be in ``langs``
+    2. quality: ``min_tokens`` whitespace tokens or more
+    3. repetition: Gopher dup-line and top-bigram fractions under caps
+    4. exact dedup: keep only each text_hash group's min-id row
+    5. near-dup (optional): given a candidate PAIR frame (a, b) — from
+       MinHash/SimHash/embedding candidates — keep only each connected
+       component's min-id representative (``near_duplicate_clusters``)
+    """
+    from nous_spark.operators.dedup import near_duplicate_clusters
+    from nous_spark.operators.textstats import (
+        language_id,
+        repetition_scores,
+        token_counts,
+    )
+
+    base_cols = docs.columns
+    d = token_counts(
+        repetition_scores(language_id(docs, text_col), text_col), text_col
+    )
+    kept = d.filter(
+        F.col("lang_pred").isin(*langs)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+
+    # exact dedup: min-id keeper per md5(text), survivors only — a
+    # window would single-task giant duplicate groups; the groupBy+join
+    # form shuffles once on the hash and keeps the plan skew-safe
+    kept = kept.withColumn("__th", F.md5(F.col(text_col)))
+    keepers = kept.groupBy("__th").agg(F.min(id_col).alias("__keep_id"))
+    kept = (
+        kept.join(keepers, "__th")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__th", "__keep_id")
+    )
+
+    if near_dup_pairs is not None:
+        comp = near_duplicate_clusters(near_dup_pairs)
+        drops = comp.filter(F.col("id") != F.col("keeper_id")).select(
+            F.col("id").alias("__drop_id")
+        )
+        kept = kept.join(
+            drops, kept[id_col] == F.col("__drop_id"), "left_anti"
+        )
+
+    return kept.select(
+        *base_cols,
+        F.concat_ws(
+            "+",
+            F.lit("lang"), F.lit("quality"), F.lit("repetition"),
+            F.lit("exact_keeper"),
+            *( [F.lit("near_dup_keeper")] if near_dup_pairs is not None else [] ),
+        ).alias("keep_reason"),
+    )

@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402  (module-level: pandas_udf type hints
+#                      resolve annotations in MODULE globals, not locals)
+
 N_ITEMS = int(os.environ.get("NOUS_BPR_ITEMS", 1_000_000))
 N_USERS = int(os.environ.get("NOUS_BPR_USERS", 2_000))
 PER_USER = 20
@@ -30,7 +34,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 8))
 
 
 def main() -> None:
-    import numpy as np
     from pyspark.sql import functions as F
 
     from nous_spark.operators.link_prediction import (
@@ -69,7 +72,6 @@ def main() -> None:
     # --- the touched-join term in isolation (same trace the epoch runs):
     # replay epoch-0 touched discovery + join against the full item
     # factor table, nothing else ---
-    import pandas as pd
     from pyspark.sql import types as T
 
     from nous_spark.operators.link_prediction import _TOUCH_SCHEMA, _draw_trace

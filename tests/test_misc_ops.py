@@ -364,3 +364,32 @@ def test_token_entropy(spark):
         assert abs(out[did] - py_entropy(t)) < 1e-6, (did, out[did], py_entropy(t))
     assert out[3] == 0.0
     assert out[1] < 1.0 < out[2]
+
+
+def test_clean_corpus_funnel(spark):
+    """clean_corpus: language + min-token + exact-dup keeper + near-dup
+    drop compose into one keep set; dropped docs are absent, survivors
+    carry the keep_reason trail."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.curation import clean_corpus
+
+    rows = [
+        (0, "the cat is on the mat and the dog is here with it now ok"),
+        (1, "the cat is on the mat and the dog is here with it now ok"),
+        (2, "der hund ist mit der katze und das haus von der stadt da"),
+        (3, "short text"),
+        (4, "the sun was bright and the sky is blue with the wind today"),
+        (5, "the sun was bright and the sky is blue with the rain today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(4, 5)], ["a", "b"])
+    kept = clean_corpus(
+        docs, langs=("en",), min_tokens=5, near_dup_pairs=pairs
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    # 1 = exact dup of 0 (min-id keeper wins), 2 = german, 3 = too short,
+    # 5 = near-dup cluster non-keeper
+    assert ids == {0, 4}
+    reasons = {r.keep_reason for r in kept.collect()}
+    assert reasons == {"lang+quality+repetition+exact_keeper+near_dup_keeper"}
