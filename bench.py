@@ -79,9 +79,15 @@ def main() -> None:
     # does not clear a query that ran minutes later in a contended
     # window — r4's dd_simhash 5.7 s had a 0.10 s run probe). ~0.1 s per
     # probe on a clean host; read any slow query against ITS probe.
-    from scripts.scaling_bench import host_bandwidth_probe, host_health_probe
+    from scripts.scaling_bench import (host_bandwidth_probe,
+                                       host_health_probe,
+                                       host_parallel_probe)
 
     bw_per_query: dict[str, float] = {}
+    # 16-thread probe: catches partial-core steal that single-core
+    # probes cannot see (round-5: 13 s -> 48 s rep swing, both
+    # single-core probes clean)
+    par_per_query: dict[str, float] = {}
     for name, sink in [(n, timings) for n in headline] + [
         (n, ext_timings) for n in extended
     ]:
@@ -94,8 +100,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         sink[name] = round(best, 3)
         bw_per_query[name] = round(host_bandwidth_probe(), 4)
+        par_per_query[name] = round(host_parallel_probe(), 4)
         print(f"# {name}: {n} rows in {best:.2f}s (best of {reps}, "
-              f"bw_probe {bw_per_query[name]:.2f}s)",
+              f"bw_probe {bw_per_query[name]:.2f}s, "
+              f"par_probe {par_per_query[name]:.2f}s)",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -106,6 +114,7 @@ def main() -> None:
     probes = {
         "host_cpu_probe_sec": host_health_probe(),
         "host_bw_probe_sec": host_bandwidth_probe(),
+        "host_par_probe_sec": host_parallel_probe(),
     }
     out = {
         "metric": "headline_queries_wall",
@@ -120,6 +129,7 @@ def main() -> None:
         "reps": reps,
         "agg": "min",
         "query_bw_probe_sec": bw_per_query,
+        "query_par_probe_sec": par_per_query,
         **probes,
     }
     print(json.dumps(out))

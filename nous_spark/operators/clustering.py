@@ -21,13 +21,15 @@ from pyspark.sql import functions as F
 _KMEANS_DRIVER_CAP = 4_000_000
 
 # symmetrized edge lists at or under this row count run the WHOLE power
-# iteration driver-side from one Arrow collect (~24 B/edge ≈ 100 MB at the
-# cap): the distributed matvec is one shuffle per round, and on a small
-# graph every round is pure stage/scheduling overhead — measured 10-12 s
-# for a 1,000-vertex graph at local[32] vs <2 s collected. Web-scale
-# graphs (the 100 TB co-occurrence case) exceed the cap and take the
-# distributed join+agg path below, whose plan is unchanged.
-_PIC_EDGE_DRIVER_CAP = 4_000_000
+# iteration driver-side from one Arrow collect (~24 B/edge ≈ 400 MB at the
+# cap — the session driver is 48 g): the distributed matvec is one shuffle
+# per round, and on a small graph every round is pure stage/scheduling
+# overhead — measured 10-12 s for a 1,000-vertex graph at local[32] vs
+# <2 s collected; the NumPy bincount matvec handles 9M edges x 6 rounds
+# in well under a second. Web-scale graphs (the 100 TB co-occurrence
+# case) exceed the cap and take the distributed join+agg path below,
+# whose plan is unchanged.
+_PIC_EDGE_DRIVER_CAP = 16_000_000
 
 
 def _lloyd_1d(svals, k: int, kmeans_iter: int) -> list[float]:
@@ -147,19 +149,21 @@ def power_iteration_clustering(
     )
 
     # small-graph fast path: when the symmetrized edge list fits the
-    # driver (limit-probe, same pattern as the Lloyd cap below) and the
-    # init is one of the built-in modes, run the whole loop in NumPy off
-    # one Arrow collect — replaces max_iter shuffle rounds with one job.
-    # DataFrame inits stay on the distributed path (the caller's init
-    # frame may be arbitrarily large).
-    if isinstance(init, str):
-        probe = e.limit(driver_edge_cap + 1).toPandas()
-        if len(probe) <= driver_edge_cap:
-            spark = sim.sparkSession
-            out = _pic_driver(spark, probe, k, max_iter, kmeans_iter,
-                              init, seed)
-            e.unpersist()
-            return out
+    # driver and the init is one of the built-in modes, run the whole
+    # loop in NumPy off one Arrow collect — replaces max_iter shuffle
+    # rounds with one job. The size check is a count(), NOT a
+    # limit-probe collect: over the cap a limit-probe would ship
+    # driver_edge_cap rows to the driver only to throw them away, and
+    # the count both costs one cheap job and populates the persist cache
+    # the distributed path reuses. DataFrame inits stay on the
+    # distributed path (the caller's init frame may be arbitrarily
+    # large).
+    if isinstance(init, str) and e.count() <= driver_edge_cap:
+        spark = sim.sparkSession
+        out = _pic_driver(spark, e.toPandas(), k, max_iter, kmeans_iter,
+                          init, seed)
+        e.unpersist()
+        return out
 
     deg = e.groupBy("a").agg(F.sum("w").alias("d")).withColumnRenamed("a", "id")
     if isinstance(init, DataFrame):

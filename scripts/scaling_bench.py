@@ -99,6 +99,34 @@ def host_health_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def host_parallel_probe(n_threads: int = 16) -> float:
+    """Time a fixed MULTI-CORE CPU workload (16 threads x sha256/32 MB).
+
+    Round-5 finding: both single-core probes (sha256, memcpy) read clean
+    while the same Spark query swung 13 s -> 48 s between consecutive
+    reps — a co-tenant stealing MOST-BUT-NOT-ALL cores leaves one core
+    fast and 32-way stages starved. hashlib releases the GIL on large
+    buffers, so a thread pool genuinely occupies ``n_threads`` cores.
+    Clean window on this box: ~0.1 s; multiples mark partial-core-steal
+    windows that only parallel work can see."""
+    import hashlib
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    blob = b"\x5a" * (1 << 20)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(32):
+            h.update(blob)
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(lambda _: work(), range(n_threads)))  # warmup
+        t0 = time.perf_counter()
+        list(pool.map(lambda _: work(), range(n_threads)))
+        return round(time.perf_counter() - t0, 4)
+
+
 def host_bandwidth_probe() -> float:
     """Time a fixed MEMORY-BANDWIDTH workload (copy 1 GB through RAM).
 
