@@ -1048,6 +1048,24 @@ def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
     ).dropDuplicates()
 
 
+def _q_ngram_pairs(spark, sf):  # exact n-gram Jaccard with prefix blocking
+    from nous_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    # the sf documents have no natural trigram near-dups (gate would be
+    # vacuous) — plant 10 one-token-appended copies (jaccard G/(G+1)
+    # ~0.97). A single added gram can displace at most one of the two
+    # smallest block hashes, so each planted pair ALWAYS shares a block
+    # and recovery is guaranteed, not probabilistic.
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxtoken")).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        docs.unionByName(planted), n=3, threshold=0.5
+    ).select("a", "b", "jaccard")
+
+
 def _q_corpus_clean(spark, sf):  # end-to-end curation funnel, one plan
     from nous_spark.operators.curation import clean_corpus
 
@@ -1169,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_exact_dedup": _q_str_exact_dedup,
         "str_minhash_cands": _q_str_minhash_cands,
         "corpus_clean": _q_corpus_clean,
+        "dd_ngram_pairs": _q_ngram_pairs,
     }
 
 

@@ -48,6 +48,10 @@ GATES = [
     # the dd_minhash true-Jaccard verifier)
     "ann_ivf_query",
     "str_minhash_cands",
+    # exact n-gram Jaccard with prefix blocking: VALUES oracle verified
+    # below against a full O(n^2) brute-force gram-set Jaccard (exactness
+    # + subset-of-true-pairs + guaranteed planted-pair recall)
+    "dd_ngram_pairs",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -170,6 +174,54 @@ def main() -> None:
     print("ann_ivf_query: independent cosine/self-recovery check OK")
     verify_streaming_minhash(spark)
     print("str_minhash_cands: batch state-machine re-derivation OK")
+    verify_ngram_pairs()
+    print("dd_ngram_pairs: brute-force gram-set Jaccard check OK")
+
+
+def verify_ngram_pairs() -> None:
+    """Every oracle pair's jaccard recomputed from gram-STRING sets in
+    plain Python (no xxhash in the loop); pairs must be a subset of the
+    true >=0.5 set; all 10 planted one-token-appended copies recovered."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    for i in range(10):
+        texts[i + 1_000_000] = texts[i] + " zyxtoken"
+
+    def grams(text: str) -> frozenset:
+        # mirrors shingles(): F.trim strips SPACES only, split on \s+,
+        # windows i..i+2 for i in 0..max(T-3,0), array_distinct
+        toks = re.split(r"\s+", text.lower().strip(" "))
+        return frozenset(
+            " ".join(toks[i:i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1)
+        )
+
+    gsets = {i: grams(t) for i, t in texts.items()}
+    names, rows = _oracle_rows("dd_ngram_pairs")
+    got = {}
+    for r in rows:
+        a, b, j = (int(r[names.index("a")]), int(r[names.index("b")]),
+                   float(r[names.index("jaccard")]))
+        inter = len(gsets[a] & gsets[b])
+        union = max(len(gsets[a] | gsets[b]), 1)
+        assert abs(inter / union - j) <= 1.5e-6, (a, b, j, inter / union)
+        assert j >= 0.5
+        got[(a, b)] = j
+    ids = sorted(gsets)
+    true_pairs = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(gsets[a] & gsets[b])
+            if inter and inter / max(len(gsets[a] | gsets[b]), 1) >= 0.5:
+                true_pairs.add((a, b))
+    assert set(got) <= true_pairs, set(got) - true_pairs
+    for i in range(10):
+        assert (i, i + 1_000_000) in got, f"planted pair {i} not recovered"
 
 
 def verify_ann_ivf(spark) -> None:
