@@ -1048,6 +1048,14 @@ def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
     ).dropDuplicates()
 
 
+def _q_unigram_logprob(spark, sf):  # CCNet-style perplexity proxy
+    from nous_spark.operators.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(_read(spark, sf, "documents")).select(
+        "doc_id", "avg_logprob"
+    )
+
+
 def _q_ngram_pairs(spark, sf):  # exact n-gram Jaccard with prefix blocking
     from nous_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1188,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_minhash_cands": _q_str_minhash_cands,
         "corpus_clean": _q_corpus_clean,
         "dd_ngram_pairs": _q_ngram_pairs,
+        "txt_unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -1937,6 +1946,21 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "txt_unigram_logprob": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                trim(lower(text)), '\\s+'),
+                                x -> len(x) > 0) AS toks
+                       FROM documents),
+            e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            c AS (SELECT tok, count(*)::DOUBLE AS c FROM e GROUP BY tok),
+            tot AS (SELECT sum(c) AS total FROM c),
+            s AS (SELECT e.doc_id, avg(ln(c.c / tot.total)) AS lp
+                  FROM e JOIN c USING (tok), tot GROUP BY e.doc_id)
+            SELECT t.doc_id,
+                   round(coalesce(s.lp, 0.0), 6) AS avg_logprob
+            FROM t LEFT JOIN s USING (doc_id)
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

@@ -206,3 +206,48 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         n > 0, F.round(F.log(n.cast("double")) - s / n.cast("double"), 6)
     ).otherwise(F.lit(0.0))
     return df.withColumn("token_entropy", ent)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity proxy: score each document by the average
+    log-probability of its tokens under the corpus's own unigram LM —
+    the standard cheap quality signal for ranking/filtering pretraining
+    text (odd documents score far below the corpus mode).
+
+    Two aggregations, both standard shuffles: (1) token -> count over
+    the corpus (the LM), (2) per-doc mean of ln(c_t / total) via an
+    explode + join + groupBy. ``broadcast_vocab`` broadcasts the count
+    table into the join (right for vocabularies that fit an executor —
+    tens of millions of distinct tokens); at a 100 TB corpus with a
+    larger vocabulary set it False and AQE's skew-join handles the
+    stop-word keys. Docs with no tokens score 0.0.
+    Emits ``avg_logprob`` (<= 0; higher = more typical text)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(id_col, toks.alias("__toks"))
+    e = base.select(id_col, F.explode("__toks").alias("__tok"))
+    counts = e.groupBy("__tok").agg(F.count("*").cast("double").alias("__c"))
+    total = float(
+        counts.agg(F.sum("__c").alias("t")).collect()[0].t or 1.0
+    )
+    rhs = F.broadcast(counts) if broadcast_vocab else counts
+    scored = (
+        e.join(rhs, "__tok")
+        .groupBy(id_col)
+        .agg(F.avg(F.log(F.col("__c") / F.lit(total))).alias("__lp"))
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(
+            "avg_logprob",
+            F.round(F.coalesce(F.col("__lp"), F.lit(0.0)), 6),
+        )
+        .drop("__lp")
+    )

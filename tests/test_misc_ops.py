@@ -393,3 +393,17 @@ def test_clean_corpus_funnel(spark):
     assert ids == {0, 4}
     reasons = {r.keep_reason for r in kept.collect()}
     assert reasons == {"lang+quality+repetition+exact_keeper+near_dup_keeper"}
+
+
+def test_unigram_logprob_ranks_typicality(spark):
+    """The perplexity proxy must score common-token text above text made
+    of corpus-rare tokens, and empty docs land at the 0.0 sentinel."""
+    from nous_spark.operators.textstats import unigram_logprob_scores
+
+    rows = [(0, "the the the the"), (1, "qzx vbn wrt plm"), (2, "")]
+    # pad the corpus so "the" is genuinely common
+    rows += [(10 + i, "the cat and the dog") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob_scores(docs).collect()}
+    assert out[0] > out[1], out
+    assert out[2] == 0.0
