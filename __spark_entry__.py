@@ -1048,6 +1048,53 @@ def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
     ).dropDuplicates()
 
 
+def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
+    import tempfile
+
+    from nous_spark.streaming.structured import windowed_event_counts
+
+    # THREE microbatches: under availableNow the watermark computed from
+    # batch N's data only becomes effective one committed trigger later
+    # (measured on this Spark: a late row in batch 2 of 2 is NOT yet
+    # filtered, a late row in batch 3 is) — so the late replay rides in
+    # batch 3, where the watermark from the earlier batches must DROP
+    # it. The oracle below excludes it and applies the closed-window
+    # emission cutoff (window end <= max(ts) - watermark delay).
+    e = _read(spark, sf, "events").select("event_type", "ts", "value")
+    hi = e.agg(F.max("ts").alias("m")).collect()[0].m
+    cut1 = F.lit(hi) - F.expr("INTERVAL 12 HOURS")
+    cut2 = F.lit(hi) - F.expr("INTERVAL 6 HOURS")
+    src = tempfile.mkdtemp(prefix="strwm_src_")
+    batch1 = e.filter(F.col("ts") < cut1)
+    late = batch1.orderBy("ts").limit(1).select(
+        F.lit("late_replay").alias("event_type"), "ts", "value"
+    )
+    batch2 = e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    batch3 = e.filter(F.col("ts") >= cut2).unionByName(late)
+    for b in (batch1, batch2, batch3):
+        (b.coalesce(1).write.mode("append").parquet(src))
+
+    name = "gate_strwm"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows CLOSED by the final watermark; the
+    # oracle mirrors both the late-drop and the closed-window cutoff
+    return spark.table(name).select(
+        "window_start", "event_type", "cnt", "sum_value"
+    )
+
+
 def _q_unigram_logprob(spark, sf):  # CCNet-style perplexity proxy
     from nous_spark.operators.textstats import unigram_logprob_scores
 
@@ -1197,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "dd_ngram_pairs": _q_ngram_pairs,
         "txt_unigram_logprob": _q_unigram_logprob,
+        "str_watermark_counts": _q_str_watermark_counts,
     }
 
 
@@ -1946,6 +1994,15 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "str_watermark_counts": """
+            WITH hi AS (SELECT max(ts) AS h FROM events),
+            w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                         count(*) AS cnt, round(sum(value), 2) AS sum_value
+                  FROM events GROUP BY 1, 2)
+            SELECT window_start, event_type, cnt, sum_value
+            FROM w, hi
+            WHERE window_start + INTERVAL 1 HOUR <= hi.h - INTERVAL 2 HOUR
         """,
         "txt_unigram_logprob": """
             WITH t AS (SELECT doc_id,
