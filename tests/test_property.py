@@ -156,3 +156,80 @@ def test_sample_v2_matches_stream_simulation(spark, edges, filtered):
     )
     assert got_first == simulate(True)
     assert got_visited == simulate(False)
+
+
+_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab \n\t.!é的")),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_TEXT, min_size=1, max_size=8))
+def test_textstats_match_python_oracles(spark, texts):
+    """repetition_scores / token_entropy / unigram_logprob_scores vs
+    direct pure-Python computation on adversarial random text (unicode,
+    tabs, blank lines, leading whitespace). NB Spark's trim() strips
+    SPACES only — the oracles mirror that exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from nous_spark.operators.textstats import (
+        repetition_scores,
+        token_entropy,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    def toks_of(t, lower=False):
+        if lower:
+            t = t.lower()
+        return [x for x in re.split(r"\s+", t.strip(" ")) if x]
+
+    # --- repetition ---
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        lines = [x for x in t.split("\n") if x.strip(" ")]
+        paras = [x for x in re.split(r"\n\s*\n", t) if x.strip(" ")]
+
+        def dup(arr):
+            return round((len(arr) - len(set(arr))) / len(arr), 6) if arr else 0.0
+
+        toks = toks_of(t)
+        if len(toks) >= 2:
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+            top = round(max(Counter(grams).values()) / len(grams), 6)
+        else:
+            top = 0.0
+        assert got[i].dup_line_frac == dup(lines), (t, got[i])
+        assert got[i].dup_para_frac == dup(paras), (t, got[i])
+        assert abs(got[i].top_bigram_frac - top) <= 2e-6, (t, got[i], top)
+
+    # --- entropy ---
+    gote = {r.doc_id: r.token_entropy for r in token_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = toks_of(t)
+        if not toks:
+            assert gote[i] == 0.0
+            continue
+        n = len(toks)
+        s = sum(c * math.log(c) for c in Counter(toks).values())
+        assert abs(gote[i] - (math.log(n) - s / n)) <= 2e-6, (t, gote[i])
+
+    # --- unigram logprob (corpus LM over the same frame) ---
+    corpus = Counter()
+    for t in texts:
+        corpus.update(toks_of(t, lower=True))
+    total = sum(corpus.values())
+    gotl = {r.doc_id: r.avg_logprob
+            for r in unigram_logprob_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = toks_of(t, lower=True)
+        if not toks:
+            assert gotl[i] == 0.0
+            continue
+        want = sum(math.log(corpus[x] / total) for x in toks) / len(toks)
+        assert abs(gotl[i] - want) <= 2e-6, (t, gotl[i], want)
