@@ -1095,6 +1095,53 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_str_corpus_clean(spark, sf):  # curation funnel on a stream
+    import tempfile
+
+    from nous_spark.operators.curation import clean_corpus_stream
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    with_ts = docs.select(
+        "doc_id", "text",
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+    src = tempfile.mkdtemp(prefix="strclean_src_")
+    # batch 2 replays 50 batch-1 docs — the watermarked dedup state must
+    # drop them across the boundary, on top of the stateless filters
+    batch1 = with_ts.filter(F.col("doc_id") < 150)
+    replays = batch1.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text",
+        (F.col("ts") + F.make_interval(secs=F.lit(200.0))).alias("ts"),
+    )
+    batch2 = with_ts.filter(F.col("doc_id") >= 150).unionByName(replays)
+    for b in (batch1, batch2):
+        (b.coalesce(1).sortWithinPartitions("doc_id")
+         .write.mode("append").parquet(src))
+
+    name = "gate_strclean"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        clean_corpus_stream(
+            stream, langs=("en",), min_tokens=15,
+            max_dup_line_frac=0.3, max_top_bigram_frac=0.12,
+        )
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # survivor identity is arrival-order defined — the gate pins the
+    # order-independent contract: the distinct (text_hash, text) set of
+    # filter survivors
+    return spark.table(name).select("text_hash", "text").dropDuplicates()
+
+
 def _q_unigram_logprob(spark, sf):  # CCNet-style perplexity proxy
     from nous_spark.operators.textstats import unigram_logprob_scores
 
@@ -1245,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_pairs": _q_ngram_pairs,
         "txt_unigram_logprob": _q_unigram_logprob,
         "str_watermark_counts": _q_str_watermark_counts,
+        "str_corpus_clean": _q_str_corpus_clean,
     }
 
 
@@ -1994,6 +2042,64 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "str_corpus_clean": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 300),
+            lt AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM d),
+            ls AS (SELECT doc_id,
+              len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM lt),
+            lang AS (SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM ls),
+            rt AS (SELECT doc_id,
+                list_filter(str_split(text, chr(10)),
+                            x -> len(trim(x)) > 0) AS lines,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM d),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            feat AS (SELECT d.doc_id, d.text, lang.lang_pred,
+                CASE WHEN length(trim(d.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN len(rt.lines) > 0
+                     THEN round((len(rt.lines) - len(list_distinct(rt.lines)))
+                                / len(rt.lines)::DOUBLE, 6) ELSE 0.0 END
+                  AS dup_line_frac,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM d
+              JOIN lang USING (doc_id) JOIN rt USING (doc_id)
+              JOIN g USING (doc_id) LEFT JOIN m USING (doc_id))
+            SELECT DISTINCT md5(text) AS text_hash, text
+            FROM feat
+            WHERE lang_pred = 'en' AND n_tokens >= 15
+              AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.12
         """,
         "str_watermark_counts": """
             WITH hi AS (SELECT max(ts) AS h FROM events),

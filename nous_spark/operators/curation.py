@@ -91,3 +91,46 @@ def clean_corpus(
             *( [F.lit("near_dup_keeper")] if near_dup_pairs is not None else [] ),
         ).alias("keep_reason"),
     )
+
+
+def clean_corpus_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The curation funnel on a document STREAM (a live crawl): the
+    scalar signals are stateless column expressions — literally the same
+    Catalyst code as the batch form, applied per microbatch — and exact
+    dedup becomes first-arrival-wins state via
+    ``dropDuplicatesWithinWatermark`` on the content hash (hash-only
+    state, evicted by the watermark; the batch min-id keeper is
+    meaningless on an unbounded stream, so survivor identity is
+    arrival-order defined — downstream consumers key on ``text_hash``).
+    Near-dup streaming composes downstream via
+    ``streaming_minhash_candidates``.
+    """
+    from nous_spark.operators.textstats import (
+        language_id,
+        repetition_scores,
+        token_counts,
+    )
+
+    d = token_counts(
+        repetition_scores(language_id(stream, text_col), text_col), text_col
+    )
+    kept = d.filter(
+        F.col("lang_pred").isin(*langs)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return (
+        kept.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
