@@ -1095,6 +1095,14 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_s3_web_crawl_reader(spark, sf):  # S3/S4 JSON corpus -> (url, line)
+    from nous_spark.sources.readers import read_web_crawl_json
+
+    return read_web_crawl_json(spark, f"{_FIXTURES}/corpus.jsonl").select(
+        "url", "line"
+    )
+
+
 def _q_str_corpus_clean(spark, sf):  # curation funnel on a stream
     import tempfile
 
@@ -1293,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": _q_unigram_logprob,
         "str_watermark_counts": _q_str_watermark_counts,
         "str_corpus_clean": _q_str_corpus_clean,
+        "s3_web_crawl_reader": _q_s3_web_crawl_reader,
     }
 
 
@@ -2042,6 +2051,21 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "s3_web_crawl_reader": """
+            WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line
+                         FROM read_text('/root/repo/fixtures/readers/corpus.jsonl')),
+            j AS (SELECT line FROM raw WHERE length(line) > 0),
+            p AS (SELECT
+                coalesce(json_extract_string(line, '$.url'),
+                         json_extract_string(line, '$.meta.canonical'),
+                         'unknown') AS url,
+                string_split(coalesce(json_extract_string(line, '$.text'),
+                                      json_extract_string(line, '$.content'),
+                                      ''), chr(10)) AS ls
+              FROM j)
+            SELECT url, line FROM (SELECT url, unnest(ls) AS line FROM p)
+            WHERE length(trim(line)) > 0
         """,
         "str_corpus_clean": """
             WITH d AS (SELECT * FROM documents WHERE doc_id < 300),
