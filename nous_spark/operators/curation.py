@@ -8,10 +8,13 @@ funnel in front of LLM pretraining (filter → dedup → near-dedup).
 Everything stays a Catalyst plan: the scalar signals are pure column
 expressions computed in the SAME scan (no second pass over the text),
 and the two dedup stages are the existing groupBy / connected-components
-operators joined back by key. At 100 TB the plan is: one full scan
-producing (doc, signals, text_hash), one hash-shuffle for the exact
-keeper, the near-dup pair join, and a left_anti drop — no driver
-materialization anywhere.
+operators joined back by key. Plan shape (audited): the keeper
+group-and-join references the filtered subtree on both sides, so the
+executed plan scans the source twice with all filters pushed into both
+scans — the standard shape for a self-aggregation join (a per-hash
+window would be one scan but lands whole duplicate groups in single
+tasks; wrong at web scale). At 100 TB, `.persist()` the filtered
+survivors first if the funnel feeds further passes.
 """
 
 from __future__ import annotations
