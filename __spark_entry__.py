@@ -1095,6 +1095,26 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_mask_pii(spark, sf):  # PII masking (emails/cards/SSN/IP/phones)
+    from nous_spark.operators.curation import mask_pii
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    # the synthetic corpus carries no PII — plant one of each kind on
+    # every 5th doc (deterministic, mirrored literally in the oracle)
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id"),
+            F.lit("@example.com ip 10.0."), F.col("doc_id") % 250,
+            F.lit(".7 card 4111-1111-1111-1111 ssn 123-45-6789"
+                  " tel +1 (555) 123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    return mask_pii(docs.withColumn("text", planted)).select(
+        "doc_id", "masked", "n_pii"
+    )
+
+
 def _q_s3_web_crawl_reader(spark, sf):  # S3/S4 JSON corpus -> (url, line)
     from nous_spark.sources.readers import read_web_crawl_json
 
@@ -1302,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_watermark_counts": _q_str_watermark_counts,
         "str_corpus_clean": _q_str_corpus_clean,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
+        "txt_mask_pii": _q_mask_pii,
     }
 
 
@@ -2051,6 +2072,36 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "txt_mask_pii": """
+            WITH p AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact: user' || doc_id ||
+                          '@example.com ip 10.0.' || (doc_id % 250) ||
+                          '.7 card 4111-1111-1111-1111 ssn 123-45-6789' ||
+                          ' tel +1 (555) 123-4567'
+                     ELSE text END AS text
+              FROM documents),
+            m AS (SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '<PII:email>', 'g'),
+                        '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b',
+                        '<PII:cc>', 'g'),
+                      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<PII:ssn>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '<PII:ipv4>', 'g'),
+                  '\\b\\+?\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}\\b',
+                  '<PII:phone>', 'g') AS masked
+              FROM p)
+            SELECT doc_id, masked,
+                   len(regexp_extract_all(masked, '<PII:[a-z0-9]+>'))::BIGINT
+                     AS n_pii
+            FROM m
         """,
         "s3_web_crawl_reader": """
             WITH raw AS (SELECT unnest(string_split(content, chr(10))) AS line

@@ -96,6 +96,40 @@ def clean_corpus(
     )
 
 
+_PII_PATTERNS = [
+    # order matters: longer/more-specific first so a credit card is not
+    # half-eaten by the phone pattern. Patterns avoid lookarounds so the
+    # same regex runs identically on Java (Spark) and RE2 (DuckDB).
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b"),
+]
+
+
+def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII masking for training corpora: emails, credit-card/SSN-shaped
+    numbers, IPv4 addresses and phone numbers are replaced with typed
+    sentinels (``<PII:email>`` etc.) — the standard pre-release scrub so
+    a model cannot memorize contact data verbatim.
+
+    Pure chained ``regexp_replace`` column expressions (JVM regex, one
+    scan, no UDF); patterns are lookaround-free so the DuckDB oracle
+    runs the byte-identical chain. Emits ``masked`` plus ``n_pii`` (total
+    sentinels inserted), so a pipeline can also FILTER on PII density
+    rather than mask (docs that are mostly PII are usually directories —
+    drop, don't scrub)."""
+    masked = F.col(text_col)
+    for kind, pat in _PII_PATTERNS:
+        masked = F.regexp_replace(masked, pat, f"<PII:{kind}>")
+    out = df.withColumn("masked", masked)
+    return out.withColumn(
+        "n_pii", F.regexp_count(F.col("masked"), F.lit(r"<PII:[a-z0-9]+>"))
+        .cast("long"),
+    )
+
+
 def clean_corpus_stream(
     stream: DataFrame,
     text_col: str = "text",

@@ -407,3 +407,22 @@ def test_unigram_logprob_ranks_typicality(spark):
     out = {r.doc_id: r.avg_logprob for r in unigram_logprob_scores(docs).collect()}
     assert out[0] > out[1], out
     assert out[2] == 0.0
+
+
+def test_mask_pii_kinds_and_density(spark):
+    from nous_spark.operators.curation import mask_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@corp.io or call +1 (555) 123-4567"),
+        (1, "card 4111-1111-1111-1111 ssn 123-45-6789 host 10.0.0.7"),
+        (2, "no pii here at all"),
+    ]
+    out = {r.doc_id: r for r in mask_pii(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert "<PII:email>" in out[0].masked and "<PII:phone>" in out[0].masked
+    assert "jo.doe" not in out[0].masked
+    for k in ("cc", "ssn", "ipv4"):
+        assert f"<PII:{k}>" in out[1].masked, out[1].masked
+    assert "4111" not in out[1].masked
+    assert out[2].masked == rows[2][1] and out[2].n_pii == 0
+    assert out[0].n_pii == 2 and out[1].n_pii == 3
