@@ -1095,6 +1095,15 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_corpus_report(spark, sf):  # per-source corpus health report
+    from nous_spark.operators.curation import corpus_report
+
+    return corpus_report(_read(spark, sf, "documents")).select(
+        "source", "n_docs", "n_chars_total", "mean_tokens",
+        "mean_top_bigram_frac", "pct_en", "dup_rate"
+    )
+
+
 def _q_mask_pii(spark, sf):  # PII masking (emails/cards/SSN/IP/phones)
     from nous_spark.operators.curation import mask_pii
 
@@ -1323,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_corpus_clean": _q_str_corpus_clean,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
         "txt_mask_pii": _q_mask_pii,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -2072,6 +2082,62 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "corpus_report": """
+            WITH lt AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM documents),
+            ls AS (SELECT doc_id,
+              len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM lt),
+            lang AS (SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM ls),
+            rt AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            feat AS (SELECT d.source, d.text, lang.lang_pred,
+                CASE WHEN length(trim(d.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM documents d
+              JOIN lang USING (doc_id) JOIN g USING (doc_id)
+              LEFT JOIN m USING (doc_id))
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS n_chars_total,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(avg(top_bigram_frac), 6) AS mean_top_bigram_frac,
+                   round(avg(CASE WHEN lang_pred = 'en' THEN 1.0
+                                  ELSE 0.0 END), 6) AS pct_en,
+                   round(1.0 - count(DISTINCT md5(text))
+                             / count(*)::DOUBLE, 6) AS dup_rate
+            FROM feat GROUP BY source
         """,
         "txt_mask_pii": """
             WITH p AS (SELECT doc_id,

@@ -96,6 +96,49 @@ def clean_corpus(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus health report — the dashboard table a curation
+    run publishes next to its outputs: volume, mean quality signals,
+    language mix, and exact-duplicate rate per origin (crawl, dump,
+    partner feed, ...). One scan computes every scalar signal; the whole
+    report is a single groupBy shuffle on the source key.
+
+    Emits per group: ``n_docs``, ``n_chars_total``, ``mean_tokens``,
+    ``mean_top_bigram_frac``, ``pct_en``, ``dup_rate`` (1 − distinct
+    hashes / docs — the fraction of rows that are redundant copies)."""
+    from nous_spark.operators.textstats import (
+        language_id,
+        repetition_scores,
+        token_counts,
+    )
+
+    d = token_counts(
+        repetition_scores(language_id(df, text_col), text_col), text_col
+    ).withColumn("__th", F.md5(F.col(text_col)))
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(text_col)).alias("n_chars_total"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(F.avg("top_bigram_frac"), 6).alias("mean_top_bigram_frac"),
+            F.round(
+                F.avg(F.when(F.col("lang_pred") == "en", 1.0).otherwise(0.0)),
+                6,
+            ).alias("pct_en"),
+            F.round(
+                1.0 - F.count_distinct("__th") / F.count("*").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 _PII_PATTERNS = [
     # order matters: longer/more-specific first so a credit card is not
     # half-eaten by the phone pattern. Patterns avoid lookarounds so the
