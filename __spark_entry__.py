@@ -1095,6 +1095,45 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_str_contamination(spark, sf):  # stream-static decontamination
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_contamination_matches
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    src = tempfile.mkdtemp(prefix="strcontam_src_")
+    for lo, hi in ((0, 250), (250, 100000)):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).sortWithinPartitions("doc_id")
+         .write.mode("append").parquet(src))
+
+    name = "gate_strcontam"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_contamination_matches(stream, ev, n=13)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # aggregate the appended match rows to per-pair collision counts —
+    # must equal the BATCH operator's output (stream-static joins are
+    # stateless, so batching cannot change the match set)
+    return (
+        spark.table(name)
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_collisions"))
+    )
+
+
 def _q_corpus_report(spark, sf):  # per-source corpus health report
     from nous_spark.operators.curation import corpus_report
 
@@ -1333,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
         "txt_mask_pii": _q_mask_pii,
         "corpus_report": _q_corpus_report,
+        "str_contamination": _q_str_contamination,
     }
 
 
@@ -2082,6 +2122,23 @@ def oracle_sql() -> dict[str, str]:
                    AS keep_reason
             FROM keep
             WHERE doc_id NOT IN (SELECT id FROM drops)
+        """,
+        "str_contamination": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                         FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           range(greatest(len(toks) - 13, 0) + 1),
+                           i -> array_to_string(toks[i+1:i+13], ' '))) AS grams
+                  FROM tok),
+            d AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            e AS (SELECT doc_id AS eval_id, gram FROM d WHERE doc_id % 37 = 0)
+            SELECT d.doc_id, e.eval_id,
+                   count(DISTINCT d.gram)::BIGINT AS n_collisions
+            FROM d JOIN e ON d.gram = e.gram
+            GROUP BY d.doc_id, e.eval_id
+            HAVING count(DISTINCT d.gram) >= 1
         """,
         "corpus_report": """
             WITH lt AS (SELECT doc_id,

@@ -240,3 +240,36 @@ def streaming_minhash_candidates(
         update, _MHSTATE_OUT, _MHSTATE_STATE, "append",
         "ProcessingTimeTimeout",
     )
+
+
+def streaming_contamination_matches(
+    stream: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 13,
+) -> DataFrame:
+    """Train/eval decontamination on a document STREAM: each arriving
+    doc's word n-gram shingles are joined against the (static,
+    broadcast) benchmark gram set; a match row (doc_id, eval_id, gram)
+    means the doc shares that 13-gram with that benchmark item.
+
+    Stream-static inner joins are STATELESS in Structured Streaming —
+    no watermark, no state store, every microbatch probes the broadcast
+    table independently — so this scales exactly like the batch
+    operator (dedup.py::contamination_check) whose shingle expressions
+    it reuses; aggregate matches to per-pair collision counts downstream
+    (foreachBatch or over the sink table)."""
+    from nous_spark.operators.dedup import shingles
+
+    d = shingles(stream, text_col, id_col, n).select(
+        F.col("id").alias(id_col),
+        F.explode("shingle_hashes").alias("gram"),
+    )
+    e = shingles(eval_set, eval_text_col, eval_id_col, n).select(
+        F.col("id").alias(eval_id_col),
+        F.explode("shingle_hashes").alias("gram"),
+    )
+    return d.join(F.broadcast(e), "gram").select(id_col, eval_id_col, "gram")
