@@ -426,3 +426,36 @@ def test_mask_pii_kinds_and_density(spark):
     assert "4111" not in out[1].masked
     assert out[2].masked == rows[2][1] and out[2].n_pii == 0
     assert out[0].n_pii == 2 and out[1].n_pii == 3
+
+
+def test_bucketed_triple_join_avoids_shuffle(spark):
+    """write_triples_bucketed: a bucketed-x-bucketed join on the bucket
+    key must execute with ZERO Exchange nodes (the co-location contract
+    that makes repeated subj-joins one-time-shuffle at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.sources.sinks import write_triples_bucketed
+
+    t = spark.range(200).select(
+        (F.col("id") % 40).cast("long").alias("subj"),
+        F.lit("p").alias("pred"),
+        F.col("id").cast("string").alias("obj"),
+    )
+    for name in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_triples_bucketed(t, name, buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").alias("l").join(
+            spark.table("bkt_b").alias("r"), "subj"
+        )
+        n = j.count()
+        assert n == 200 * 5  # 40 keys x 5 rows each side
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
