@@ -1095,6 +1095,36 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_normalize_urls(spark, sf):  # URL canonicalization for crawl dedup
+    from nous_spark.operators.curation import normalize_urls
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    urls = d.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://ExAmple.COM:443/Path"), F.col("doc_id"),
+                     F.lit("?utm_source=x&id="), F.col("doc_id"),
+                     F.lit("&utm_campaign=y#frag")),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://Site.org:80/a/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("ftp://Files.Net/data?x=1&fbclid=abc"),
+                     F.col("doc_id")),
+        ),
+    )
+    return normalize_urls(urls).select("doc_id", "url", "url_norm")
+
+
+def _q_chunk_documents(spark, sf):  # fixed-token-window chunking
+    from nous_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf, "documents"), chunk_tokens=16, overlap=4
+    ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+
+
 def _q_str_contamination(spark, sf):  # stream-static decontamination
     import tempfile
 
@@ -1373,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_mask_pii": _q_mask_pii,
         "corpus_report": _q_corpus_report,
         "str_contamination": _q_str_contamination,
+        "txt_chunks": _q_chunk_documents,
+        "url_normalize": _q_normalize_urls,
     }
 
 
@@ -2139,6 +2171,56 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN e ON d.gram = e.gram
             GROUP BY d.doc_id, e.eval_id
             HAVING count(DISTINCT d.gram) >= 1
+        """,
+        "url_normalize": """
+            WITH u0 AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'HTTPS://ExAmple.COM:443/Path' || doc_id ||
+                          '?utm_source=x&id=' || doc_id ||
+                          '&utm_campaign=y#frag'
+                     WHEN doc_id % 3 = 1
+                     THEN 'http://Site.org:80/a/' || doc_id
+                     ELSE 'ftp://Files.Net/data?x=1&fbclid=abc' || doc_id
+                END AS url
+              FROM documents),
+            s1 AS (SELECT doc_id, url,
+                          regexp_replace(url, '#.*$', '') AS u
+                   FROM u0),
+            s2 AS (SELECT doc_id, url, u,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')
+                  AS head
+              FROM s1),
+            s3 AS (SELECT doc_id, url,
+                regexp_replace(lower(head), ':(80|443)$', '')
+                  || substr(u, length(head) + 1) AS u2
+              FROM s2),
+            s4 AS (SELECT doc_id, url, u2,
+                split_part(u2, '?', 1) AS base,
+                CASE WHEN strpos(u2, '?') > 0
+                     THEN list_filter(
+                       string_split(substr(u2, strpos(u2, '?') + 1), '&'),
+                       p -> len(p) > 0 AND NOT regexp_matches(
+                         p, '^(utm_[a-z]+|fbclid|gclid)='))
+                     ELSE []::VARCHAR[] END AS params
+              FROM s3)
+            SELECT doc_id, url,
+                   CASE WHEN len(params) > 0
+                        THEN base || '?' || array_to_string(params, '&')
+                        ELSE base END AS url_norm
+            FROM s4
+        """,
+        "txt_chunks": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> len(x) > 0) AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 12)) AS start
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id, (start / 12)::BIGINT AS chunk_id,
+                   array_to_string(toks[start+1:start+16], ' ') AS chunk,
+                   len(toks[start+1:start+16])::BIGINT AS n_chunk_tokens
+            FROM s
         """,
         "corpus_report": """
             WITH lt AS (SELECT doc_id,

@@ -96,6 +96,41 @@ def clean_corpus(
     )
 
 
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup: two crawls of the same page
+    usually differ only in case, fragment, default port, or tracking
+    params — normalizing BEFORE url-level dedup collapses them without
+    touching content.
+
+    Steps (all column expressions): strip the #fragment; lowercase the
+    scheme://host head (path/query case is significant and preserved);
+    drop default :80/:443 ports; rebuild the query string with
+    utm_*/fbclid/gclid params filtered out via split + array filter
+    (regex-replace chains mis-handle consecutive params — the array form
+    is exact for any count). Scheme-less strings pass through minus
+    fragment/tracking only. Emits ``url_norm``."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    rest = F.substring(u, F.length(head) + 1, 1 << 30)
+    head = F.regexp_replace(F.lower(head), ":(80|443)$", "")
+    u2 = F.concat(head, rest)
+    base = F.substring_index(u2, "?", 1)
+    qs = F.substring(u2, F.instr(u2, "?") + 1, 1 << 30)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    rebuilt = F.when(
+        (F.instr(u2, "?") > 0) & (F.size(params) > 0),
+        F.concat(base, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(base)
+    return df.withColumn("url_norm", rebuilt)
+
+
 def corpus_report(
     df: DataFrame,
     group_col: str = "source",

@@ -251,3 +251,47 @@ def unigram_logprob_scores(
         )
         .drop("__lp")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard packing prep for long documents before tokenization (a
+    100k-token file becomes ~1.6k training rows; the overlap keeps
+    context across cut points).
+
+    Pure column expressions: one ``sequence`` of window starts, one
+    ``transform`` + ``posexplode`` — no UDF, no shuffle; the operator is
+    a flatMap-shaped projection that scales with the scan. Emits
+    (id, chunk_id, chunk, n_chunk_tokens); docs with no tokens emit no
+    rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n > 0, chunks).otherwise(
+                F.array().cast("array<array<string>>")
+            )
+        ).alias("chunk_id", "__ct"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "__ct").alias("chunk"),
+        F.size("__ct").cast("long").alias("n_chunk_tokens"),
+    )

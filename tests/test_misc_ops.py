@@ -459,3 +459,36 @@ def test_bucketed_triple_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for name in ("bkt_a", "bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_normalize_urls_and_chunking(spark):
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.curation import normalize_urls
+    from nous_spark.operators.textstats import chunk_documents
+
+    urls = [
+        (0, "HTTPS://A.COM:443/P?utm_a=1&utm_b=2&id=3#frag"),
+        (1, "http://b.org:80/x"),
+        (2, "no-scheme/path?gclid=z&keep=1"),
+        (3, "https://c.net/q?utm_only=1"),
+    ]
+    out = {r.doc_id: r.url_norm for r in normalize_urls(
+        spark.createDataFrame(urls, ["doc_id", "url"])).collect()}
+    assert out[0] == "https://a.com/P?id=3"        # case, port, utm x2, frag
+    assert out[1] == "http://b.org/x"
+    assert out[2] == "no-scheme/path?keep=1"       # scheme-less still filtered
+    assert out[3] == "https://c.net/q"             # all params dropped -> no '?'
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(str(i) for i in range(20))), (1, "one"), (2, "")],
+        ["doc_id", "text"])
+    ch = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 20 tokens, step 6 -> starts 0,6,12,18 -> 4 chunks, last has 2 tokens
+    assert [r.n_chunk_tokens for r in sorted(by_doc[0], key=lambda r: r.chunk_id)] == [8, 8, 8, 2]
+    assert by_doc[0][0].chunk.startswith("0 1 2")
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "one"
+    assert 2 not in by_doc  # empty doc emits no chunks
