@@ -1095,6 +1095,37 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_js_divergence(spark, sf):  # F9 Jensen-Shannon over distributions
+    from nous_spark.functions.similarity import js_divergence_col
+
+    emb = _read(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    # make each embedding a probability distribution: |x| / sum|x|
+    absd = emb.select(
+        "vec_id", F.transform("e", lambda x: F.abs(x)).alias("a")
+    )
+    dist = absd.select(
+        "vec_id",
+        F.transform(
+            "a",
+            lambda x: x / F.aggregate("a", F.lit(0.0), lambda s, v: s + v),
+        ).alias("p"),
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                js_divergence_col(F.col("a.p"), F.col("b.p")), 6
+            ).alias("js"),
+        )
+    )
+
+
 def _q_normalize_urls(spark, sf):  # URL canonicalization for crawl dedup
     from nous_spark.operators.curation import normalize_urls
 
@@ -1405,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_contamination": _q_str_contamination,
         "txt_chunks": _q_chunk_documents,
         "url_normalize": _q_normalize_urls,
+        "f9_js_divergence": _q_js_divergence,
     }
 
 
@@ -2171,6 +2203,26 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN e ON d.gram = e.gram
             GROUP BY d.doc_id, e.eval_id
             HAVING count(DISTINCT d.gram) >= 1
+        """,
+        "f9_js_divergence": """
+            WITH n AS (SELECT vec_id,
+                              list_transform(embedding::DOUBLE[],
+                                             x -> abs(x)) AS a
+                       FROM embeddings),
+            d AS (SELECT vec_id,
+                         list_transform(a, x -> x / list_sum(a)) AS p
+                  FROM n),
+            x AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         unnest(a.p) AS pv, unnest(b.p) AS qv
+                  FROM d a JOIN d b ON a.vec_id + 1 = b.vec_id)
+            SELECT id_a, id_b,
+              round(0.5 * sum(CASE WHEN pv > 0 AND (pv+qv)/2 > 0
+                                   THEN pv * ln(pv / ((pv+qv)/2))
+                                   ELSE 0 END)
+                  + 0.5 * sum(CASE WHEN qv > 0 AND (pv+qv)/2 > 0
+                                   THEN qv * ln(qv / ((pv+qv)/2))
+                                   ELSE 0 END), 6) AS js
+            FROM x GROUP BY id_a, id_b
         """,
         "url_normalize": """
             WITH u0 AS (SELECT doc_id,

@@ -115,6 +115,33 @@ def js_divergence(p: list[float], q: list[float]) -> float:
     return 0.5 * kl_divergence(p, m) + 0.5 * kl_divergence(q, m)
 
 
+def kl_divergence_col(p, q):
+    """F9 as a pure JVM column expression over two array<double>
+    distribution columns (MathUtils.klDivergence semantics: terms where
+    either side is <= 0 contribute nothing) — the distributed form of the
+    driver-side helper above; one zip_with + aggregate, no UDF."""
+    return F.aggregate(
+        F.zip_with(
+            p, q,
+            lambda a, b: F.when((a > 0) & (b > 0), a * F.log(a / b))
+            .otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def js_divergence_col(p, q):
+    """F9: Jensen-Shannon over distribution columns
+    (MathUtils.jensenShannonDiv) — 0.5·KL(p‖m) + 0.5·KL(q‖m) with
+    m = (p+q)/2, all JVM-side."""
+    m = F.zip_with(p, q, lambda a, b: (a + b) / F.lit(2.0))
+    return (
+        F.lit(0.5) * kl_divergence_col(p, m)
+        + F.lit(0.5) * kl_divergence_col(q, m)
+    )
+
+
 def split_words_col(c):
     """Column-expression analog of ``_split_words``: lowercase, split on the
     StringSim separator class, distinct non-empty words. Set semantics (the
