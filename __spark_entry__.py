@@ -1095,6 +1095,58 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_neighbor_labels(spark, sf):  # A12 one-hop neighbor label sets
+    from nous_spark.operators.graph import neighbor_labels
+
+    sup = _read(spark, sf, "supplier")
+    nat = _read(spark, sf, "nation")
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey") + 100_000).cast("long").alias("dst"),
+    )
+    verts = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_name").alias("label"),
+    ).unionByName(nat.select(
+        (F.col("n_nationkey") + 100_000).cast("long").alias("id"),
+        F.col("n_name").alias("label"),
+    ))
+    out = neighbor_labels(edges, verts, both_directions=True)
+    # collect_set order follows shuffle layout — sort for the compare
+    return out.select(
+        "id", F.sort_array("nbr_labels").alias("nbr_labels"), "n_nbrs"
+    )
+
+
+def _q_subgraph(spark, sf):  # G2 vertex-induced subgraph
+    from nous_spark.operators.graph import subgraph_by_vertices
+
+    li = _read(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 10_000).cast("long").alias("dst"),
+    )
+    sup = _read(spark, sf, "supplier").filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    part = _read(spark, sf, "part").filter(F.col("p_size") > 25).select(
+        (F.col("p_partkey") + 10_000).cast("long").alias("id")
+    )
+    return subgraph_by_vertices(edges, sup.unionByName(part))
+
+
+def _q_weight_bins(spark, sf):  # W6/A14 min-max normalize + bin
+    from nous_spark.operators.graph import bin_weights
+
+    li = _read(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("w"),
+    )
+    return bin_weights(li, "w", n_bins=10).select(
+        "l_orderkey", "l_linenumber", "bin"
+    )
+
+
 def _q_js_divergence(spark, sf):  # F9 Jensen-Shannon over distributions
     from nous_spark.functions.similarity import js_divergence_col
 
@@ -1437,6 +1489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_chunks": _q_chunk_documents,
         "url_normalize": _q_normalize_urls,
         "f9_js_divergence": _q_js_divergence,
+        "a12_neighbor_labels": _q_neighbor_labels,
+        "g2_subgraph": _q_subgraph,
+        "w6_weight_bins": _q_weight_bins,
     }
 
 
@@ -2203,6 +2258,42 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN e ON d.gram = e.gram
             GROUP BY d.doc_id, e.eval_id
             HAVING count(DISTINCT d.gram) >= 1
+        """,
+        "a12_neighbor_labels": """
+            WITH e AS (SELECT s_suppkey::BIGINT AS src,
+                              (s_nationkey + 100000)::BIGINT AS dst
+                       FROM supplier),
+            v AS (SELECT s_suppkey::BIGINT AS id, s_name AS label
+                  FROM supplier
+                  UNION ALL
+                  SELECT (n_nationkey + 100000)::BIGINT, n_name FROM nation),
+            fwd AS (SELECT e.src AS id, v.label AS nbr_label
+                    FROM e JOIN v ON e.dst = v.id),
+            rev AS (SELECT e.dst AS id, v.label AS nbr_label
+                    FROM e JOIN v ON e.src = v.id),
+            allm AS (SELECT * FROM fwd UNION ALL SELECT * FROM rev)
+            SELECT id, list_sort(list(DISTINCT nbr_label)) AS nbr_labels,
+                   count(*)::BIGINT AS n_nbrs
+            FROM allm GROUP BY id
+        """,
+        "g2_subgraph": """
+            SELECT l_suppkey::BIGINT AS src,
+                   (l_partkey + 10000)::BIGINT AS dst
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal > 0)
+              AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        """,
+        "w6_weight_bins": """
+            WITH st AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
+                               max(l_extendedprice::DOUBLE) AS mx
+                        FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   least(floor((l_extendedprice::DOUBLE - st.mn)
+                               / (CASE WHEN st.mx - st.mn = 0 THEN 1.0
+                                       ELSE st.mx - st.mn END) * 10),
+                         9)::INTEGER AS bin
+            FROM lineitem, st
         """,
         "f9_js_divergence": """
             WITH n AS (SELECT vec_id,

@@ -172,6 +172,29 @@ def dictionary_encode(
     return out, dictionary
 
 
+def bin_weights(
+    edges: DataFrame, weight_col: str, n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """W6/A14 (binning + min-max normalization,
+    DatatoPatternGraph.scala:923-924): normalize ``weight_col`` to [0,1]
+    over its global min/max and bucket to ``floor(w·n_bins)`` with the
+    top edge clamped into the last bin. Two jobs: one min/max aggregate,
+    one map-side projection."""
+    stats = edges.agg(
+        F.min(weight_col).alias("mn"), F.max(weight_col).alias("mx")
+    ).collect()[0]
+    span = (stats.mx - stats.mn) or 1.0
+    return edges.withColumn(
+        bin_col,
+        F.least(
+            F.floor((F.col(weight_col) - F.lit(stats.mn)) / F.lit(span)
+                    * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+
+
 def stratified_sample_edges(
     edges: DataFrame, weight_col: str, fractions: dict[int, float] | None = None,
     n_bins: int = 10, seed: int = 42,
@@ -179,18 +202,7 @@ def stratified_sample_edges(
     """G9/W6 (sampleByKey design at DatatoPatternGraph.scala:890-972,
     binning :923-924): normalize a weight column to [0,1], bin to
     floor(w·10), stratified-sample by bin."""
-    stats = edges.agg(
-        F.min(weight_col).alias("mn"), F.max(weight_col).alias("mx")
-    ).collect()[0]
-    span = (stats.mx - stats.mn) or 1.0
-    binned = edges.withColumn(
-        "__bin",
-        F.least(
-            F.floor((F.col(weight_col) - F.lit(stats.mn)) / F.lit(span)
-                    * n_bins).cast("int"),
-            F.lit(n_bins - 1),
-        ),
-    )
+    binned = bin_weights(edges, weight_col, n_bins, bin_col="__bin")
     if fractions is None:
         fractions = {b: max(0.1, (b + 1) / n_bins) for b in range(n_bins)}
     return binned.sampleBy("__bin", fractions, seed).drop("__bin")
