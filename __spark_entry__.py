@@ -1112,9 +1112,13 @@ def _q_neighbor_labels(spark, sf):  # A12 one-hop neighbor label sets
         F.col("n_name").alias("label"),
     ))
     out = neighbor_labels(edges, verts, both_directions=True)
-    # collect_set order follows shuffle layout — sort for the compare
+    # collect_set order follows shuffle layout — sort, and emit as a
+    # joined string (array-valued output cells break the pandas-side
+    # row-sort in the entry-contract compare)
     return out.select(
-        "id", F.sort_array("nbr_labels").alias("nbr_labels"), "n_nbrs"
+        "id",
+        F.concat_ws("|", F.sort_array("nbr_labels")).alias("nbr_labels"),
+        "n_nbrs",
     )
 
 
@@ -2272,7 +2276,9 @@ def oracle_sql() -> dict[str, str]:
             rev AS (SELECT e.dst AS id, v.label AS nbr_label
                     FROM e JOIN v ON e.src = v.id),
             allm AS (SELECT * FROM fwd UNION ALL SELECT * FROM rev)
-            SELECT id, list_sort(list(DISTINCT nbr_label)) AS nbr_labels,
+            SELECT id,
+                   array_to_string(list_sort(list(DISTINCT nbr_label)), '|')
+                     AS nbr_labels,
                    count(*)::BIGINT AS n_nbrs
             FROM allm GROUP BY id
         """,
