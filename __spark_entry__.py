@@ -1189,6 +1189,9 @@ def _q_normalize_urls(spark, sf):  # URL canonicalization for crawl dedup
     urls = d.withColumn(
         "url",
         F.when(
+            F.col("doc_id") % 12 == 2,
+            F.concat(F.lit("https://Wrong.Port:80/keep/"), F.col("doc_id")),
+        ).when(
             F.col("doc_id") % 3 == 0,
             F.concat(F.lit("HTTPS://ExAmple.COM:443/Path"), F.col("doc_id"),
                      F.lit("?utm_source=x&id="), F.col("doc_id"),
@@ -1390,19 +1393,20 @@ def _q_corpus_clean(spark, sf):  # end-to-end curation funnel, one plan
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness evaluates the
-    # registry in order and verifies the first 50 — the top 50 are curated
-    # so every SURVEY §2 row keeps at least one hard signal: oracled gates
-    # whose operator is ALSO covered by another green gate or a golden
-    # test (a1_mis_exact, a6_edge_signatures, txt_subword_count,
-    # str_windowed_agg, ann_lsh_topk) sit just past the cap — still
-    # oracled, still run by scripts/gate_check.py — making room for the
-    # round-4 VALUES-oracled dedup gates and the F12 LAS reader. Rows-only
-    # entries (genuinely non-SQL ops) come last, flagship first among
-    # those.
+    # registry in order and verifies the first 50. Round-6 rotation (per
+    # VERDICT r5 #1): the flagship kg_extract_triples and the round-4/5
+    # training-data gates (corpus_clean, dd_contamination, dd_ngram_pairs,
+    # ann_ivf_query, str_exact_dedup, txt_mask_pii, txt_unigram_logprob,
+    # dd_near_dup_clusters, str_watermark_counts) move INTO the top 50 so
+    # the driver's hard signal covers them; ten trivial scan/filter gates
+    # (f1, f2, txt_token_count, s10, s12, f12, j11, w3, a13, s5) rotate
+    # just past the cap — still oracled, still verified every round by
+    # scripts/gate_check.py, and their operators retain golden/pytest
+    # coverage. Rows-only entries (genuinely non-SQL ops) stay last.
     return {
+        "kg_extract_triples": _q_extract_triples,
         "s7_lang_histogram": _q_lang_histogram,
-        "f1_valid_lines": _q_valid_lines,
-        "f2_normalize_fields": _q_normalize_fields,
+        "corpus_clean": _q_corpus_clean,
         "n6_purge_longest": _q_purge_longest,
         "w2_topk_per_group": _q_topk_per_group,
         "a10_degree": _q_degree,
@@ -1411,12 +1415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_semi_join": _q_semi_join,
         "j9_anti_join": _q_anti_join,
         "dd_embedding_pairs": _q_embedding_near_dups,
-        "txt_token_count": _q_token_count,
+        "dd_contamination": _q_contamination,
         "dd_minhash_pairs": _q_minhash_pairs,
         "txt_quality_score": _q_quality_score,
         "dd_exact_dedup": _q_dedup_exact,
         "dd_simhash_pairs": _q_simhash_pairs,
-        "a13_type_cooccurrence": _q_type_cooccurrence,
+        "dd_ngram_pairs": _q_ngram_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "txt_language_id": _q_language_id,
         "txt_fingerprint_stats": _q_fingerprint_stats,
@@ -1428,21 +1432,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_two_edge_signatures": _q_two_edge_signatures,
         "a3_window_support": _q_a3_window_support,
         "g6_pagerank": _q_pagerank,
-        "f12_las_reader": _q_f12_las_reader,
+        "dd_near_dup_clusters": _q_near_dup_clusters,
         "j2_candidate_pairs": _q_j2_candidate_pairs,
         "j6_grow_patterns": _q_j6_grow_patterns,
         "f8_dice_sim": _q_f8_dice_sim,
         "a7_popularity": _q_a7_popularity,
         "a8_context_score": _q_a8_context_score,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
-        "w3_argmax_entity": _q_w3_argmax_entity,
+        "ann_ivf_query": _q_ann_ivf_query,
         "j3_neighborhoods": _q_j3_neighborhoods,
-        "j11_prefix_match": _q_j11_prefix_match,
+        "str_exact_dedup": _q_str_exact_dedup,
         "s8_triples_reader": _q_s8_triples_reader,
         "s9_quad_reader": _q_s9_quad_reader,
-        "s10_lg_reader": _q_s10_lg_reader,
-        "s12_topic_reader": _q_s12_topic_reader,
-        "s5_autodetect": _q_s5_autodetect,
+        "txt_mask_pii": _q_mask_pii,
+        "txt_unigram_logprob": _q_unigram_logprob,
+        "str_watermark_counts": _q_str_watermark_counts,
         "g9_sample_v1": _q_g9_sample_v1,
         "str_stateful_window": _q_str_stateful_window,
         "g7_pic": _q_g7_pic,
@@ -1450,44 +1454,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_video_stats": _q_mm_video_stats,
-        # ---- past the driver's 50-key cap from here. First the demoted
-        # oracled gates (operator coverage retained elsewhere: A1 by
-        # a1_mis_support + the WSJ batch-40 golden test, A6 by
-        # a6_two_edge_signatures, token counting by txt_token_count, §2.9
-        # by str_stateful_window, ANN by ann_cosine_topk) — all still
-        # verified by scripts/gate_check.py ----
+        # ---- past the driver's 50-key cap from here. First the round-6
+        # demotions (all still oracled + run by scripts/gate_check.py;
+        # operator coverage retained by golden/pytest tests) ----
+        "f1_valid_lines": _q_valid_lines,
+        "f2_normalize_fields": _q_normalize_fields,
+        "txt_token_count": _q_token_count,
+        "a13_type_cooccurrence": _q_type_cooccurrence,
+        "f12_las_reader": _q_f12_las_reader,
+        "w3_argmax_entity": _q_w3_argmax_entity,
+        "j11_prefix_match": _q_j11_prefix_match,
+        "s10_lg_reader": _q_s10_lg_reader,
+        "s12_topic_reader": _q_s12_topic_reader,
+        "s5_autodetect": _q_s5_autodetect,
+        # ---- earlier demotions (operator coverage retained elsewhere: A1
+        # by a1_mis_support + the WSJ batch-40 golden test, A6 by
+        # a6_two_edge_signatures, token counting by txt_subword_count's
+        # pytest twin, §2.9 by str_stateful_window, ANN by
+        # ann_cosine_topk) ----
         "a1_mis_exact": _q_mis_exact,
         "a6_edge_signatures": _q_edge_signatures,
         "txt_subword_count": _q_subword_count,
         "str_windowed_agg": _q_windowed_agg,
         "ann_lsh_topk": _q_ann_lsh_topk,
         # ---- non-SQL-expressible ops (NLP pipeline, sequential merge
-        # alignment): VALUES-oracled since round 4 — semantics pinned by
-        # golden tests, determinism + lineage pinned by the oracle
-        # (gen_values_oracles verifies sha256 lineage / blocking / bounds
-        # independently) ----
-        "kg_extract_triples": _q_extract_triples,
+        # alignment): VALUES-oracled since round 4 ----
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
-        # ---- round-5: the training-data + streaming ops gained in round
-        # 4 get their own oracled gates (also past the cap; verified by
-        # scripts/gate_check.py): DuckDB SQL where expressible, VALUES
-        # oracles with independent verifiers (NumPy cosine, batch-parity
-        # state-machine re-derivation) for the hash-family ops ----
+        # ---- remaining round-4/5 training-data + streaming gates ----
         "txt_repetition_scores": _q_repetition_scores,
         "txt_token_entropy": _q_token_entropy,
-        "dd_contamination": _q_contamination,
-        "dd_near_dup_clusters": _q_near_dup_clusters,
-        "ann_ivf_query": _q_ann_ivf_query,
-        "str_exact_dedup": _q_str_exact_dedup,
         "str_minhash_cands": _q_str_minhash_cands,
-        "corpus_clean": _q_corpus_clean,
-        "dd_ngram_pairs": _q_ngram_pairs,
-        "txt_unigram_logprob": _q_unigram_logprob,
-        "str_watermark_counts": _q_str_watermark_counts,
         "str_corpus_clean": _q_str_corpus_clean,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
-        "txt_mask_pii": _q_mask_pii,
         "corpus_report": _q_corpus_report,
         "str_contamination": _q_str_contamination,
         "txt_chunks": _q_chunk_documents,
@@ -2237,9 +2236,15 @@ def oracle_sql() -> dict[str, str]:
                         >= 0.8),
             i AS (SELECT a, a - row_number() OVER (ORDER BY a) AS grp FROM p),
             isl AS (SELECT min(a) AS lo, max(a) AS hi FROM i GROUP BY grp),
-            members AS (SELECT unnest(range(lo, hi + 2)) AS id, lo AS keeper
+            members AS (SELECT unnest(range(lo, hi + 2)) AS id, lo AS comp
                         FROM isl),
-            drops AS (SELECT id FROM members WHERE id != keeper)
+            -- keeper recomputed among filter survivors: min surviving id
+            -- per component (matches clean_corpus's survivor-keeper fix)
+            sm AS (SELECT m.id, m.comp FROM members m
+                   JOIN keep k ON k.doc_id = m.id),
+            nk AS (SELECT comp, min(id) AS nd_keep FROM sm GROUP BY comp),
+            drops AS (SELECT sm.id FROM sm JOIN nk USING (comp)
+                      WHERE sm.id != nk.nd_keep)
             SELECT doc_id, n_chars,
                    'lang+quality+repetition+exact_keeper+near_dup_keeper'
                    AS keep_reason
@@ -2323,7 +2328,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_normalize": """
             WITH u0 AS (SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0
+                CASE WHEN doc_id % 12 = 2
+                     THEN 'https://Wrong.Port:80/keep/' || doc_id
+                     WHEN doc_id % 3 = 0
                      THEN 'HTTPS://ExAmple.COM:443/Path' || doc_id ||
                           '?utm_source=x&id=' || doc_id ||
                           '&utm_campaign=y#frag'
@@ -2340,7 +2347,11 @@ def oracle_sql() -> dict[str, str]:
                   AS head
               FROM s1),
             s3 AS (SELECT doc_id, url,
-                regexp_replace(lower(head), ':(80|443)$', '')
+                CASE WHEN lower(head) LIKE 'http://%'
+                     THEN regexp_replace(lower(head), ':80$', '')
+                     WHEN lower(head) LIKE 'https://%'
+                     THEN regexp_replace(lower(head), ':443$', '')
+                     ELSE lower(head) END
                   || substr(u, length(head) + 1) AS u2
               FROM s2),
             s4 AS (SELECT doc_id, url, u2,
@@ -2449,7 +2460,7 @@ def oracle_sql() -> dict[str, str]:
                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<PII:ssn>', 'g'),
                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                     '<PII:ipv4>', 'g'),
-                  '\\b\\+?\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}\\b',
+                  '\\+?\\b\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}\\b',
                   '<PII:phone>', 'g') AS masked
               FROM p)
             SELECT doc_id, masked,

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# output schema, fixed so the driver fast path never schema-infers (an
+# empty pandas frame has no inferable types)
+_PIC_OUT_SCHEMA = "id long, cluster int, embedding double"
+
 # embeddings at or under this row count run Lloyd driver-side (exact, one
 # collect); larger ones use the distributed per-round aggregate
 _KMEANS_DRIVER_CAP = 4_000_000
@@ -101,7 +105,8 @@ def _pic_driver(spark, edges_pdf, k, max_iter, kmeans_iter, init, seed):
             "id": ids,
             "cluster": assign.astype("int32"),
             "embedding": v,
-        })
+        }),
+        schema=_PIC_OUT_SCHEMA,
     )
 
 
@@ -160,7 +165,13 @@ def power_iteration_clustering(
     # large).
     if isinstance(init, str) and e.count() <= driver_edge_cap:
         spark = sim.sparkSession
-        out = _pic_driver(spark, e.toPandas(), k, max_iter, kmeans_iter,
+        edges_pdf = e.toPandas()
+        if len(edges_pdf) == 0:
+            # empty / fully-filtered similarity frame: a typed empty
+            # result, not a CANNOT_INFER_EMPTY_SCHEMA crash
+            e.unpersist()
+            return spark.createDataFrame([], schema=_PIC_OUT_SCHEMA)
+        out = _pic_driver(spark, edges_pdf, k, max_iter, kmeans_iter,
                           init, seed)
         e.unpersist()
         return out

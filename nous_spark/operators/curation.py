@@ -44,8 +44,13 @@ def clean_corpus(
     3. repetition: Gopher dup-line and top-bigram fractions under caps
     4. exact dedup: keep only each text_hash group's min-id row
     5. near-dup (optional): given a candidate PAIR frame (a, b) — from
-       MinHash/SimHash/embedding candidates — keep only each connected
-       component's min-id representative (``near_duplicate_clusters``)
+       MinHash/SimHash/embedding candidates — keep each connected
+       component's min-id representative AMONG THE FILTER SURVIVORS.
+       The keeper is recomputed over the rows that reached this stage
+       (components joined to the filtered frame, min surviving id per
+       component), so a cluster whose global min-id member was already
+       dropped by language/quality/exact-dedup still keeps exactly one
+       representative — the component never silently vanishes.
     """
     from nous_spark.operators.dedup import near_duplicate_clusters
     from nous_spark.operators.textstats import (
@@ -77,9 +82,20 @@ def clean_corpus(
     )
 
     if near_dup_pairs is not None:
+        # keeper_id from near_duplicate_clusters is the component label
+        # (global min id); re-pick the keeper among rows that SURVIVED
+        # the upstream filters so every component keeps one survivor.
         comp = near_duplicate_clusters(near_dup_pairs)
-        drops = comp.filter(F.col("id") != F.col("keeper_id")).select(
-            F.col("id").alias("__drop_id")
+        surv = comp.join(
+            kept.select(F.col(id_col).alias("id")), "id"
+        )
+        surv_keep = surv.groupBy("keeper_id").agg(
+            F.min("id").alias("__nd_keep")
+        )
+        drops = (
+            surv.join(surv_keep, "keeper_id")
+            .filter(F.col("id") != F.col("__nd_keep"))
+            .select(F.col("id").alias("__drop_id"))
         )
         kept = kept.join(
             drops, kept[id_col] == F.col("__drop_id"), "left_anti"
@@ -107,7 +123,9 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     Steps (all column expressions): strip the #fragment; lowercase the
     scheme://host head (path/query case is significant and preserved);
-    drop default :80/:443 ports; rebuild the query string with
+    drop the DEFAULT port only — :80 for http and :443 for https
+    (https://host:80 is a different resource and is preserved); rebuild
+    the query string with
     utm_*/fbclid/gclid params filtered out via split + array filter
     (regex-replace chains mis-handle consecutive params — the array form
     is exact for any count). Scheme-less strings pass through minus
@@ -115,7 +133,14 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     u = F.regexp_replace(F.col(url_col), "#.*$", "")
     head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     rest = F.substring(u, F.length(head) + 1, 1 << 30)
-    head = F.regexp_replace(F.lower(head), ":(80|443)$", "")
+    head = F.lower(head)
+    head = (
+        F.when(head.startswith("http://"),
+               F.regexp_replace(head, ":80$", ""))
+        .when(head.startswith("https://"),
+              F.regexp_replace(head, ":443$", ""))
+        .otherwise(head)
+    )
     u2 = F.concat(head, rest)
     base = F.substring_index(u2, "?", 1)
     qs = F.substring(u2, F.instr(u2, "?") + 1, 1 << 30)
@@ -182,7 +207,10 @@ _PII_PATTERNS = [
     ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("phone", r"\b\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b"),
+    # optional '+' sits OUTSIDE the word boundary: \b\+? can never
+    # consume a '+' after whitespace (both sides non-word), which left
+    # '+1 (555) ...' masked as '+<PII:phone>' with a dangling plus
+    ("phone", r"\+?\b\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b"),
 ]
 
 

@@ -221,7 +221,11 @@ def unigram_logprob_scores(
 
     Two aggregations, both standard shuffles: (1) token -> count over
     the corpus (the LM), (2) per-doc mean of ln(c_t / total) via an
-    explode + join + groupBy. ``broadcast_vocab`` broadcasts the count
+    explode + join + groupBy. The vocabulary TOTAL is derived inside the
+    plan (a broadcast cross-join of the 1-row sum over the count table),
+    so the operator stays fully lazy/composable — no eager collect, and
+    Spark's ReuseExchange dedupes the shared count aggregation between
+    the total and the join side. ``broadcast_vocab`` broadcasts the count
     table into the join (right for vocabularies that fit an executor —
     tens of millions of distinct tokens); at a 100 TB corpus with a
     larger vocabulary set it False and AQE's skew-join handles the
@@ -234,14 +238,15 @@ def unigram_logprob_scores(
     base = df.select(id_col, toks.alias("__toks"))
     e = base.select(id_col, F.explode("__toks").alias("__tok"))
     counts = e.groupBy("__tok").agg(F.count("*").cast("double").alias("__c"))
-    total = float(
-        counts.agg(F.sum("__c").alias("t")).collect()[0].t or 1.0
+    total = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(1.0)).alias("__total")
     )
-    rhs = F.broadcast(counts) if broadcast_vocab else counts
+    lm = counts.crossJoin(F.broadcast(total))
+    rhs = F.broadcast(lm) if broadcast_vocab else lm
     scored = (
         e.join(rhs, "__tok")
         .groupBy(id_col)
-        .agg(F.avg(F.log(F.col("__c") / F.lit(total))).alias("__lp"))
+        .agg(F.avg(F.log(F.col("__c") / F.col("__total"))).alias("__lp"))
     )
     return (
         df.join(scored, id_col, "left")

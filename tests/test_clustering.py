@@ -120,3 +120,20 @@ def test_pic_driver_path_matches_distributed(spark, two_cliques):
     emb_d = {r.id: r.embedding for r in dist}
     for i in emb_f:
         assert abs(emb_f[i] - emb_d[i]) < 1e-9
+
+
+def test_pic_empty_and_fully_filtered_input(spark):
+    """Empty or fully weight-filtered similarity frames return a TYPED
+    empty (id, cluster, embedding) frame instead of crashing with
+    CANNOT_INFER_EMPTY_SCHEMA (round-5 ADVICE)."""
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    out = power_iteration_clustering(empty, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cluster", "embedding"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "int", "double"
+    ]
+    # all-nonpositive weights filter to empty too
+    z = spark.createDataFrame([(0, 1, 0.0), (1, 2, -1.0)],
+                              ["src", "dst", "weight"])
+    assert power_iteration_clustering(z, k=2).count() == 0

@@ -395,6 +395,32 @@ def test_clean_corpus_funnel(spark):
     assert reasons == {"lang+quality+repetition+exact_keeper+near_dup_keeper"}
 
 
+def test_clean_corpus_keeper_recomputed_among_survivors(spark):
+    """A near-dup cluster whose global min-id member fails an upstream
+    filter must still keep exactly one representative — the min id among
+    the FILTER SURVIVORS — instead of silently losing the whole cluster
+    (round-5 ADVICE, curation.py keeper bug)."""
+    from nous_spark.operators.curation import clean_corpus
+
+    rows = [
+        # doc 10: German -> dropped by the language filter, but it is the
+        # min-id member of near-dup component {10, 11, 12}
+        (10, "der hund ist mit der katze und das haus von der stadt da"),
+        (11, "the sun was bright and the sky is blue with the wind today"),
+        (12, "the sun was bright and the sky is blue with the rain today"),
+        (13, "the cat is on the mat and the dog is here with it now ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], ["a", "b"])
+    kept = clean_corpus(
+        docs, langs=("en",), min_tokens=5, near_dup_pairs=pairs
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    # 10 out (lang), 11 kept (min SURVIVING id of the component),
+    # 12 out (non-keeper), 13 kept (not in any cluster)
+    assert ids == {11, 13}, ids
+
+
 def test_unigram_logprob_ranks_typicality(spark):
     """The perplexity proxy must score common-token text above text made
     of corpus-rare tokens, and empty docs land at the 0.0 sentinel."""
@@ -421,6 +447,9 @@ def test_mask_pii_kinds_and_density(spark):
         spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
     assert "<PII:email>" in out[0].masked and "<PII:phone>" in out[0].masked
     assert "jo.doe" not in out[0].masked
+    # the leading '+' of an international number is consumed by the mask,
+    # not left dangling in front of the sentinel
+    assert "+<PII:phone>" not in out[0].masked
     for k in ("cc", "ssn", "ipv4"):
         assert f"<PII:{k}>" in out[1].masked, out[1].masked
     assert "4111" not in out[1].masked
@@ -472,6 +501,8 @@ def test_normalize_urls_and_chunking(spark):
         (1, "http://b.org:80/x"),
         (2, "no-scheme/path?gclid=z&keep=1"),
         (3, "https://c.net/q?utm_only=1"),
+        (4, "https://D.io:80/y"),   # NON-default port: must be preserved
+        (5, "http://E.io:443/z"),   # NON-default port: must be preserved
     ]
     out = {r.doc_id: r.url_norm for r in normalize_urls(
         spark.createDataFrame(urls, ["doc_id", "url"])).collect()}
@@ -479,6 +510,8 @@ def test_normalize_urls_and_chunking(spark):
     assert out[1] == "http://b.org/x"
     assert out[2] == "no-scheme/path?keep=1"       # scheme-less still filtered
     assert out[3] == "https://c.net/q"             # all params dropped -> no '?'
+    assert out[4] == "https://d.io:80/y"           # :80 is not https default
+    assert out[5] == "http://e.io:443/z"           # :443 is not http default
 
     docs = spark.createDataFrame(
         [(0, " ".join(str(i) for i in range(20))), (1, "one"), (2, "")],
