@@ -1207,6 +1207,35 @@ def _q_normalize_urls(spark, sf):  # URL canonicalization for crawl dedup
     return normalize_urls(urls).select("doc_id", "url", "url_norm")
 
 
+_SPAN_HEADER = ("this site uses cookies to improve your experience accept"
+                " our terms to continue reading more")
+_SPAN_FOOTER = ("all rights reserved contact us privacy policy terms of"
+                " service follow us online")
+
+
+def _q_substring_spans(spark, sf):  # exact repeated-span (boilerplate) dedup
+    from nous_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    # the synthetic corpus has no cross-doc boilerplate — plant a 15-token
+    # header on every 4th doc and a 13-token footer on every 4th+1 doc
+    # (deterministic, mirrored literally in the oracle)
+    planted = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_SPAN_HEADER + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+    )
+    return duplicate_spans(docs.withColumn("text", planted), k=13).select(
+        "doc_id", "span_start", "span_end", "n_span_tokens", "span_text"
+    )
+
+
 def _q_chunk_documents(spark, sf):  # fixed-token-window chunking
     from nous_spark.operators.textstats import chunk_documents
 
@@ -1495,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_neighbor_labels": _q_neighbor_labels,
         "g2_subgraph": _q_subgraph,
         "w6_weight_bins": _q_weight_bins,
+        # ---- round-6 additions ----
+        "dd_substring_spans": _q_substring_spans,
     }
 
 
@@ -2564,6 +2595,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id,
                    round(coalesce(s.lp, 0.0), 6) AS avg_logprob
             FROM t LEFT JOIN s USING (doc_id)
+        """,
+        "dd_substring_spans": f"""
+            WITH p AS (SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                     THEN '{_SPAN_HEADER} ' || text
+                     WHEN doc_id % 4 = 1
+                     THEN text || ' {_SPAN_FOOTER}'
+                     ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM p),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks) - 12)) AS pos
+                  FROM t WHERE len(toks) >= 13),
+            h AS (SELECT doc_id, pos,
+                         md5(array_to_string(toks[pos+1:pos+13], ' ')) AS hh
+                  FROM s),
+            dup AS (SELECT hh FROM h
+                    GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, pos FROM h JOIN dup USING (hh)),
+            isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS grp
+              FROM hits),
+            sp AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+                          (max(pos) + 12)::BIGINT AS span_end
+                   FROM isl GROUP BY doc_id, grp)
+            SELECT sp.doc_id, span_start, span_end,
+                   (span_end - span_start + 1)::BIGINT AS n_span_tokens,
+                   array_to_string(t.toks[span_start+1:span_end+1], ' ')
+                     AS span_text
+            FROM sp JOIN t ON t.doc_id = sp.doc_id
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

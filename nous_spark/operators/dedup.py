@@ -383,3 +383,160 @@ def contamination_check(
         .agg(F.count_distinct("gram").alias("n_collisions"))
         .filter(F.col("n_collisions") >= min_collisions)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document repeated-SPAN detection — the
+    boilerplate-stripping pass (nav bars, footers, license blocks) that
+    document-level dedup cannot see, after Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr §4), re-expressed as a shingle-run plan instead of a
+    suffix array: a maximal run of k-token shingles each of which occurs
+    in >= ``min_docs`` distinct documents IS a repeated span of length
+    >= k (suffix-array duplicate substrings of length >= k contain the
+    same duplicated k-shingles, so runs recover them without any global
+    sorted structure).
+
+    Plan shape (no all-pairs, no per-doc-pair work anywhere):
+      1. positional k-gram hashes via transform+posexplode: (id, pos, h)
+      2. groupBy h, count_distinct(id) >= min_docs — the duplicated
+         shingle VOCABULARY, tiny next to the corpus at real dup rates
+      3. join the positions back on h (AQE broadcasts a small vocab)
+      4. per-doc gaps-and-islands over duplicated positions
+         (pos - row_number, partitioned by doc — each task holds only
+         one doc's OWN duplicated positions, never a cluster of docs)
+
+    A run [a, b] of shingle starts covers tokens [a, b + k - 1]. Emits
+    (doc_id, span_start, span_end, n_span_tokens, span_text) in 0-based
+    whitespace-token coordinates. Hash is md5 so the DuckDB oracle runs
+    the identical chain; at 100 TB swap ``F.md5`` for ``F.xxhash64``
+    (8-byte keys, same plan)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    n = F.size("__toks")
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def gram_hash(i):
+        return F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k)))
+
+    sh = base.select("id", F.posexplode(F.transform(idx, gram_hash))
+                     .alias("pos", "h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .drop("__grp")
+        .withColumn(
+            "n_span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long"),
+        )
+    )
+    return spans.join(base, "id").select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "n_span_tokens",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "__toks",
+                (F.col("span_start") + 1).cast("int"),
+                F.col("n_span_tokens").cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove repeated spans from every document EXCEPT the first
+    occurrence (min doc_id, then min span_start, per distinct span
+    text) — Lee et al.'s keep-one policy, so the corpus retains exactly
+    one copy of each boilerplate block.
+
+    The keeper choice groups on ``md5(span_text)`` (never the text
+    itself) via groupBy+join — skew-safe when one footer repeats across
+    millions of pages. Reconstruction is pure Catalyst: the drop
+    intervals are collected per doc (bounded: a doc's own spans), and a
+    2-arg ``filter`` lambda keeps tokens whose index falls outside every
+    dropped interval. Emits the original columns with ``text`` replaced
+    and ``n_stripped_tokens``."""
+    s = spans.withColumn("__sh", F.md5("span_text"))
+    keep = s.groupBy("__sh").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("__k")
+    )
+    drops = (
+        s.join(keep, "__sh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__k")[id_col])
+                & (F.col("span_start") == F.col("__k")["span_start"])
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"),
+                         F.col("span_end").alias("e"))
+            ).alias("__iv")
+        )
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    kept_toks = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            "__iv", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+        ),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(drops, id_col, "left")
+        .select(
+            *out_cols,
+            F.when(F.col("__iv").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(" ", kept_toks))
+            .alias(text_col),
+            F.when(F.col("__iv").isNull(), F.lit(0))
+            .otherwise(
+                F.aggregate(
+                    "__iv",
+                    F.lit(0),
+                    lambda acc, iv: acc
+                    + (iv["e"] - iv["s"] + 1).cast("int"),
+                )
+            )
+            .cast("long")
+            .alias("n_stripped_tokens"),
+        )
+    )

@@ -217,3 +217,48 @@ def test_contamination_check(spark):
     bad = contamination_check(docs, ev).select("doc_id").distinct()
     clean = docs.join(bad, "doc_id", "left_anti")
     assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+
+def test_duplicate_spans_planted_recall_and_strip(spark):
+    """Every planted boilerplate occurrence is recovered as a span with
+    exact token coordinates; strip keeps the first occurrence only and
+    reports stripped token counts (Lee et al. keep-one policy)."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(15))      # 15-token block
+    filler = lambda did: " ".join(f"u{did}_{i}" for i in range(10))
+    rows = [
+        (0, boiler + " " + filler(0)),                 # span at [0, 14]
+        (1, filler(1) + " " + boiler),                 # span at [10, 24]
+        (2, filler(2)),                                # no span
+        (3, filler(3) + " " + boiler + " " + filler(30)),  # span mid-doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sp = duplicate_spans(docs, k=13)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in sp.collect()}
+    assert got == {(0, 0, 14), (1, 10, 24), (3, 10, 24)}, got
+    assert all(r.span_text == boiler for r in sp.collect())
+
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, sp).collect()}
+    assert out[0].text == rows[0][1]                   # first occurrence kept
+    assert out[0].n_stripped_tokens == 0
+    assert out[1].text == filler(1)
+    assert out[1].n_stripped_tokens == 15
+    assert out[2].text == rows[2][1]
+    assert out[3].text == filler(3) + " " + filler(30)
+    assert out[3].n_stripped_tokens == 15
+
+
+def test_duplicate_spans_short_docs_and_min_docs(spark):
+    """Docs shorter than k emit no shingles (and no crash); min_docs=3
+    requires the span in three distinct docs."""
+    from nous_spark.operators.dedup import duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(13))
+    rows = [(0, "tiny"), (1, boiler), (2, boiler), (3, "x " + boiler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert duplicate_spans(docs, k=13, min_docs=4).count() == 0
+    got3 = duplicate_spans(docs, k=13, min_docs=3)
+    assert {r.doc_id for r in got3.collect()} == {1, 2, 3}

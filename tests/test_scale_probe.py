@@ -146,3 +146,32 @@ def test_grow_patterns_hub_cap_bounds_pairs(spark):
     free = {tuple(r) for r in grow_patterns(small, per_key_cap=None)
             .select("pattern_key", "inst_id").collect()}
     assert capped == free and len(free) > 0
+
+
+def test_duplicate_span_rows_stay_linear(spark):
+    """duplicate_spans: span rows and duplicated-position hits grow ~K
+    under K-fold amplification (shingle-vocab blocking, never doc-pair).
+    The planted header is deliberately NOT copy-tagged, so its shingle
+    hash becomes a K*n/4-doc hub key — the worst case the join-back must
+    stay linear through."""
+    from nous_spark.operators.dedup import duplicate_spans
+    from scripts.scale_probe import amplified_documents
+
+    header = ("this site uses cookies to improve your experience accept"
+              " our terms to continue reading more")
+
+    def plant(docs):
+        return docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(header + " "), F.col("text")))
+            .otherwise(F.col("text")),
+        )
+
+    def spans(docs):
+        return duplicate_spans(plant(docs), k=13).count()
+
+    c1 = spans(spark.read.parquet(f"{SF}/documents.parquet"))
+    cK = spans(amplified_documents(spark, SF, FACTOR))
+    assert c1 > 0
+    assert cK <= c1 * FACTOR * C, (c1, cK)
