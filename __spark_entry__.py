@@ -1244,6 +1244,15 @@ def _q_chunk_documents(spark, sf):  # fixed-token-window chunking
     ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
 
 
+def _q_chunk_documents_subword(spark, sf):  # model-token-budget chunking
+    from nous_spark.operators.textstats import chunk_documents_subword
+
+    return chunk_documents_subword(
+        _read(spark, sf, "documents"), chunk_subwords=24
+    ).select("doc_id", "chunk_id", "chunk", "n_chunk_words",
+             "n_chunk_subwords")
+
+
 def _q_str_contamination(spark, sf):  # stream-static decontamination
     import tempfile
 
@@ -1526,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_weight_bins": _q_weight_bins,
         # ---- round-6 additions ----
         "dd_substring_spans": _q_substring_spans,
+        "txt_chunks_subword": _q_chunk_documents_subword,
     }
 
 
@@ -2629,6 +2639,28 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t.toks[span_start+1:span_end+1], ' ')
                      AS span_text
             FROM sp JOIN t ON t.doc_id = sp.doc_id
+        """,
+        "txt_chunks_subword": """
+            WITH t AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS ws
+              FROM documents),
+            e AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws
+                  FROM t WHERE len(ws) > 0),
+            c AS (SELECT doc_id, pos, ws[pos+1] AS w,
+                len(regexp_extract_all(ws[pos+1],
+                    '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]+'))::BIGINT AS cost
+              FROM e),
+            p AS (SELECT doc_id, pos, w, cost,
+                coalesce(sum(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS pre
+              FROM c)
+            SELECT doc_id, (pre // 24)::BIGINT AS chunk_id,
+                   string_agg(w, ' ' ORDER BY pos) AS chunk,
+                   count(*)::BIGINT AS n_chunk_words,
+                   sum(cost)::BIGINT AS n_chunk_subwords
+            FROM p GROUP BY doc_id, (pre // 24)::BIGINT
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

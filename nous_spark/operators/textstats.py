@@ -300,3 +300,67 @@ def chunk_documents(
         F.concat_ws(" ", "__ct").alias("chunk"),
         F.size("__ct").cast("long").alias("n_chunk_tokens"),
     )
+
+
+_SUBWORD_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
+
+
+def chunk_documents_subword(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_subwords: int = 64,
+) -> DataFrame:
+    """Token-AWARE chunking: pack whitespace words into chunks whose size
+    tracks MODEL (subword) tokens, not word counts — a 100k-char legal
+    doc of long words and a chat log of short ones land chunks of equal
+    training cost. The per-word cost is the same BPE-proxy tokenizer as
+    ``regex_token_counts`` (letter runs / digit runs / punctuation runs),
+    so budgets line up with the corpus-level subword accounting.
+
+    Boundary rule (deterministic, prefix-expressible): word i goes to
+    chunk ``floor(subword_cost_before_i / chunk_subwords)`` — chunks fill
+    to ~chunk_subwords model tokens, a boundary-straddling word stays
+    with its left chunk (cost overshoot < that word's own cost), and
+    word order/content is exactly preserved (chunks re-concatenate to
+    the whitespace-normalized doc).
+
+    Plan shape: posexplode words -> per-doc running cost (window sum
+    partitioned by doc — each task holds one doc's words, no global
+    ordering) -> groupBy (doc, chunk). Emits (id, chunk_id, chunk,
+    n_chunk_words, n_chunk_subwords)."""
+    from pyspark.sql.window import Window
+
+    words = F.filter(_tokens(F.trim(F.col(text_col))),
+                     lambda x: F.length(x) > 0)
+    e = df.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+    e = e.withColumn(
+        "__cost", F.regexp_count(F.col("w"), F.lit(_SUBWORD_RE)).cast("long")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn(
+        "__pre", F.coalesce(F.sum("__cost").over(win), F.lit(0))
+    ).withColumn(
+        "chunk_id",
+        F.floor(F.col("__pre") / F.lit(chunk_subwords)).cast("long"),
+    )
+    return (
+        e.groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk"),
+            F.count("*").alias("n_chunk_words"),
+            F.sum("__cost").alias("n_chunk_subwords"),
+        )
+    )

@@ -233,3 +233,77 @@ def test_textstats_match_python_oracles(spark, texts):
             continue
         want = sum(math.log(corpus[x] / total) for x in toks) / len(toks)
         assert abs(gotl[i] - want) <= 2e-6, (t, gotl[i], want)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1.! ",
+            min_size=0, max_size=80,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 9),   # chunk budget
+    st.integers(0, 4),   # overlap (word-window chunker only)
+)
+def test_chunking_properties(spark, texts, budget, overlap):
+    """Pins both chunkers against pure-Python oracles.
+
+    chunk_documents (word windows): starts at 0, step = budget-overlap;
+    chunk i repeats the last `overlap` words of chunk i-1 (when full).
+    chunk_documents_subword (model-token packing): chunks concatenate
+    back to the whitespace-normalized doc in order, each chunk's subword
+    cost stays under budget + cost(last word), and a chunk is only ever
+    under budget if it is the doc's final chunk."""
+    import re
+
+    from nous_spark.operators.textstats import (
+        chunk_documents,
+        chunk_documents_subword,
+    )
+
+    if overlap >= budget:
+        overlap = budget - 1
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    words = {i: [w for w in t.strip().split() if w] for i, t in rows}
+
+    # --- word-window chunker: exact oracle ---
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=budget,
+                             overlap=overlap).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk.split(" ") \
+            if r.chunk else []
+    step = budget - overlap
+    for i, ws in words.items():
+        want = {}
+        if ws:
+            for ci, s in enumerate(range(0, len(ws), step)):
+                want[ci] = ws[s:s + budget]
+        assert got.get(i, {}) == want, (i, got.get(i), want)
+
+    # --- subword packer: reconstruction + budget bounds ---
+    cost = lambda w: len(re.findall(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+", w))
+    out = {}
+    for r in chunk_documents_subword(docs, chunk_subwords=budget).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for i, ws in words.items():
+        rs = sorted(out.get(i, []), key=lambda r: r.chunk_id)
+        if not ws:
+            assert rs == []
+            continue
+        # chunks re-concatenate to the normalized doc
+        assert " ".join(r.chunk for r in rs) == " ".join(ws)
+        for j, r in enumerate(rs):
+            cw = r.chunk.split(" ")
+            assert r.n_chunk_words == len(cw)
+            assert r.n_chunk_subwords == sum(cost(w) for w in cw)
+            # overshoot bounded by the straddling word's own cost
+            assert r.n_chunk_subwords < budget + cost(cw[-1]) or len(cw) == 1
+            # only the final chunk may end under the budget line
+            if j < len(rs) - 1:
+                nxt = rs[j + 1].chunk.split(" ")[0]
+                assert r.n_chunk_subwords + cost(nxt) > budget
