@@ -1253,6 +1253,14 @@ def _q_chunk_documents_subword(spark, sf):  # model-token-budget chunking
              "n_chunk_subwords")
 
 
+def _q_model_quality(spark, sf):  # broadcast linear quality classifier
+    from nous_spark.operators.textstats import model_quality_scores
+
+    return model_quality_scores(
+        _read(spark, sf, "documents").select("doc_id", "text")
+    ).select("doc_id", "quality_prob")
+
+
 def _q_str_contamination(spark, sf):  # stream-static decontamination
     import tempfile
 
@@ -1536,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-6 additions ----
         "dd_substring_spans": _q_substring_spans,
         "txt_chunks_subword": _q_chunk_documents_subword,
+        "txt_model_quality": _q_model_quality,
     }
 
 
@@ -2661,6 +2670,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_chunk_words,
                    sum(cost)::BIGINT AS n_chunk_subwords
             FROM p GROUP BY doc_id, (pre // 24)::BIGINT
+        """,
+        "txt_model_quality": """
+            WITH rt AS (SELECT doc_id, text,
+                list_filter(str_split(text, chr(10)),
+                            x -> len(trim(x)) > 0) AS lines,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            f AS (SELECT d.doc_id,
+                ln(1 + (CASE WHEN length(trim(d.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                        END)::DOUBLE) AS lt,
+                round(len(list_filter(
+                        regexp_split_to_array(trim(d.text), '\\s+'),
+                        t -> list_contains(['the','a','an','of','in','on',
+                          'and','or','to','is','was','for','with','that',
+                          'it'], t)))
+                      / greatest(len(regexp_split_to_array(trim(d.text),
+                          '\\s+')), 1)::DOUBLE, 6) AS sw,
+                round(length(regexp_replace(trim(d.text), '\\s+', '', 'g'))
+                        ::DOUBLE
+                      / greatest(len(regexp_split_to_array(trim(d.text),
+                          '\\s+')), 1), 6) AS mtl,
+                CASE WHEN len(rt.lines) > 0
+                     THEN round((len(rt.lines) - len(list_distinct(rt.lines)))
+                                / len(rt.lines)::DOUBLE, 6) ELSE 0.0 END
+                  AS dlf,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS tbf
+              FROM documents d
+              JOIN rt USING (doc_id) JOIN g USING (doc_id)
+              LEFT JOIN m USING (doc_id))
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(-1.0 + 0.35*lt + 2.0*sw
+                         + (-0.15)*mtl + (-3.0)*dlf + (-4.0)*tbf))), 6)
+                     AS quality_prob
+            FROM f
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

@@ -32,6 +32,9 @@ def clean_corpus(
     max_dup_line_frac: float = 0.5,
     max_top_bigram_frac: float = 0.5,
     near_dup_pairs: DataFrame | None = None,
+    min_quality_prob: float | None = None,
+    quality_weights: tuple[float, ...] | None = None,
+    quality_bias: float | None = None,
 ) -> DataFrame:
     """Return the KEPT documents (original columns) plus a ``keep_reason``
     trail of which filters passed; dropped docs are simply absent.
@@ -42,6 +45,10 @@ def clean_corpus(
     1. language: ``language_id`` prediction must be in ``langs``
     2. quality: ``min_tokens`` whitespace tokens or more
     3. repetition: Gopher dup-line and top-bigram fractions under caps
+    3b. model quality (optional, ``min_quality_prob``): the broadcast
+        linear classifier (``model_quality_scores`` — literal-weight
+        dot product, still a column filter in the SAME scan) must score
+        the doc at or above the threshold
     4. exact dedup: keep only each text_hash group's min-id row
     5. near-dup (optional): given a candidate PAIR frame (a, b) — from
        MinHash/SimHash/embedding candidates — keep each connected
@@ -54,21 +61,35 @@ def clean_corpus(
     """
     from nous_spark.operators.dedup import near_duplicate_clusters
     from nous_spark.operators.textstats import (
+        DEFAULT_QUALITY_BIAS,
+        DEFAULT_QUALITY_WEIGHTS,
         language_id,
+        quality_logit_expr,
+        quality_scores,
         repetition_scores,
         token_counts,
     )
 
     base_cols = docs.columns
+    src = quality_scores(docs, text_col) if min_quality_prob is not None \
+        else docs
     d = token_counts(
-        repetition_scores(language_id(docs, text_col), text_col), text_col
+        repetition_scores(language_id(src, text_col), text_col), text_col
     )
-    kept = d.filter(
+    keep_cond = (
         F.col("lang_pred").isin(*langs)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
+    if min_quality_prob is not None:
+        z = quality_logit_expr(
+            quality_weights or DEFAULT_QUALITY_WEIGHTS,
+            DEFAULT_QUALITY_BIAS if quality_bias is None else quality_bias,
+        )
+        prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        keep_cond = keep_cond & (prob >= F.lit(float(min_quality_prob)))
+    kept = d.filter(keep_cond)
 
     # exact dedup: min-id keeper per md5(text), survivors only — a
     # window would single-task giant duplicate groups; the groupBy+join
@@ -106,6 +127,8 @@ def clean_corpus(
         F.concat_ws(
             "+",
             F.lit("lang"), F.lit("quality"), F.lit("repetition"),
+            *( [F.lit("model_quality")] if min_quality_prob is not None
+               else [] ),
             F.lit("exact_keeper"),
             *( [F.lit("near_dup_keeper")] if near_dup_pairs is not None else [] ),
         ).alias("keep_reason"),

@@ -364,3 +364,75 @@ def chunk_documents_subword(
             F.sum("__cost").alias("n_chunk_subwords"),
         )
     )
+
+
+# CCNet-style second stage: a tiny broadcast linear model over the scalar
+# quality signals. Weights are LITERALS compiled into the plan (the model
+# is a handful of floats — never a join), so scoring stays one scan of
+# whole-stage-codegen column arithmetic. Feature order is part of the
+# contract; all ratio features are the 6dp-rounded columns the individual
+# operators emit, so the model scores exactly what the gates verify.
+QUALITY_MODEL_FEATURES = (
+    "log1p_tokens",        # ln(1 + n_tokens)
+    "stopword_ratio",
+    "mean_token_len",
+    "dup_line_frac",
+    "top_bigram_frac",
+)
+DEFAULT_QUALITY_WEIGHTS = (0.35, 2.0, -0.15, -3.0, -4.0)
+DEFAULT_QUALITY_BIAS = -1.0
+
+
+def model_quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: tuple[float, ...] = DEFAULT_QUALITY_WEIGHTS,
+    bias: float = DEFAULT_QUALITY_BIAS,
+) -> DataFrame:
+    """Model-based quality scoring: logistic regression over the
+    repo's own quality signals (the fastText/CCNet second stage next to
+    ``unigram_logprob_scores``) as a pure column dot product — weights
+    land in the plan as literals, so there is no UDF, no join, no
+    broadcast table, and the score costs one scan.
+
+    Emits ``quality_logit`` (w·x + b) and ``quality_prob``
+    (sigmoid, rounded 6dp). Train the weights offline however you like;
+    the engine only needs the float vector."""
+    base_cols = df.columns
+    d = token_counts(
+        repetition_scores(quality_scores(df, text_col), text_col), text_col
+    )
+    z = quality_logit_expr(weights, bias)
+    return d.select(
+        *base_cols,
+        z.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("quality_prob"),
+    )
+
+
+def quality_logit_expr(
+    weights: tuple[float, ...] = DEFAULT_QUALITY_WEIGHTS,
+    bias: float = DEFAULT_QUALITY_BIAS,
+):
+    """The linear-model logit as a reusable column expression over the
+    signal columns (``n_tokens``, ``stopword_ratio``, ``mean_token_len``,
+    ``dup_line_frac``, ``top_bigram_frac`` must already be present).
+    Left-associated literal arithmetic, so an oracle writing the same
+    order is bit-identical."""
+    if len(weights) != len(QUALITY_MODEL_FEATURES):
+        raise ValueError(
+            f"expected {len(QUALITY_MODEL_FEATURES)} weights "
+            f"(order {QUALITY_MODEL_FEATURES}), got {len(weights)}"
+        )
+    feats = {
+        "log1p_tokens": F.log1p(F.col("n_tokens").cast("double")),
+        "stopword_ratio": F.col("stopword_ratio"),
+        "mean_token_len": F.col("mean_token_len"),
+        "dup_line_frac": F.col("dup_line_frac"),
+        "top_bigram_frac": F.col("top_bigram_frac"),
+    }
+    z = F.lit(float(bias))
+    for w, name in zip(weights, QUALITY_MODEL_FEATURES):
+        z = z + F.lit(float(w)) * feats[name]
+    return z

@@ -525,3 +525,26 @@ def test_normalize_urls_and_chunking(spark):
     assert by_doc[0][0].chunk.startswith("0 1 2")
     assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "one"
     assert 2 not in by_doc  # empty doc emits no chunks
+
+
+def test_clean_corpus_model_quality_stage(spark):
+    """min_quality_prob engages the broadcast linear classifier as an
+    extra column filter: gibberish that passes lang/min-token/repetition
+    is dropped, fluent text survives, and keep_reason records the stage."""
+    from nous_spark.operators.curation import clean_corpus
+
+    fluent = ("the cat is on the mat and the dog was with it for a walk"
+              " in the park that day")
+    gibber = ("qwertyuiopa asdfghjklzx zxcvbnmqwer poiuytrewqa"
+              " lkjhgfdsamnb mnbvcxzlkjh qazwsxedcrf tgbyhnujmik"
+              " olpqazwsxed crfvtgbyhnu the of is")
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, gibber)], ["doc_id", "text"])
+    plain = clean_corpus(docs, langs=("en",), min_tokens=5)
+    assert {r.doc_id for r in plain.collect()} == {0, 1}
+    gated = clean_corpus(
+        docs, langs=("en",), min_tokens=5, min_quality_prob=0.4)
+    rows = gated.collect()
+    assert {r.doc_id for r in rows} == {0}, rows
+    assert rows[0].keep_reason == \
+        "lang+quality+repetition+model_quality+exact_keeper"
