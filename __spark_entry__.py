@@ -1244,6 +1244,36 @@ def _q_chunk_documents(spark, sf):  # fixed-token-window chunking
     ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
 
 
+def _q_str_near_dup_drop(spark, sf):  # streaming near-dup keep/drop loop
+    import tempfile
+
+    from nous_spark.streaming.batch_driver import StreamingNearDupFilter
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 160) \
+        .select("doc_id", "text")
+    nd = StreamingNearDupFilter(
+        spark, tempfile.mkdtemp(prefix="strnd_state_"), threshold=0.7
+    )
+    b1 = docs.filter(F.col("doc_id") < 80)
+    # batch 2 carries PLANTED cross-batch near-dups: replicas of batch-1
+    # docs 0..25 with the trailing token dropped (new ids, ~identical
+    # shingle sets) — the frontier state must drop them
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    rep = docs.filter(F.col("doc_id") < 26).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+        ).alias("text"),
+    )
+    b2 = docs.filter(F.col("doc_id") >= 80).unionByName(rep)
+    k1 = nd.process_batch(b1, 0).select(
+        "doc_id", F.lit(0).cast("long").alias("batch"))
+    k2 = nd.process_batch(b2, 1).select(
+        "doc_id", F.lit(1).cast("long").alias("batch"))
+    return k1.unionByName(k2)
+
+
 def _q_chunk_documents_subword(spark, sf):  # model-token-budget chunking
     from nous_spark.operators.textstats import chunk_documents_subword
 
@@ -1545,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_substring_spans": _q_substring_spans,
         "txt_chunks_subword": _q_chunk_documents_subword,
         "txt_model_quality": _q_model_quality,
+        "str_near_dup_drop": _q_str_near_dup_drop,
     }
 
 

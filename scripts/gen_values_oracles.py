@@ -52,6 +52,12 @@ GATES = [
     # below against a full O(n^2) brute-force gram-set Jaccard (exactness
     # + subset-of-true-pairs + guaranteed planted-pair recall)
     "dd_ngram_pairs",
+    # round-6: the streaming near-dup KEEP/DROP loop (greedy
+    # first-arrival keeper over the minhash frontier) — verified below by
+    # a plain-Python re-derivation of the full two-batch decision
+    # sequence from the batch signatures, plus a planted-drop recall
+    # check
+    "str_near_dup_drop",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -176,6 +182,9 @@ def main() -> None:
     print("str_minhash_cands: batch state-machine re-derivation OK")
     verify_ngram_pairs()
     print("dd_ngram_pairs: brute-force gram-set Jaccard check OK")
+    verify_streaming_near_dup(spark)
+    print("str_near_dup_drop: greedy two-batch re-derivation + planted "
+          "recall OK")
 
 
 def verify_ngram_pairs() -> None:
@@ -291,6 +300,107 @@ def verify_streaming_minhash(spark) -> None:
     assert got == want, (
         f"streaming minhash oracle != batch re-derivation: "
         f"only-oracle={got - want} only-batch={want - got}")
+
+
+def verify_streaming_near_dup(spark) -> None:
+    """Re-derive the gate's two-batch keep/drop sequence in plain Python
+    from the BATCH signature operator: batch-1 keepers = min-id per
+    union-find component over band-bucket candidates; batch-2 docs
+    est-matching any batch-1 KEPT signature are dropped first, survivors
+    get the same within-batch keeper pass. The filter's distributed
+    joins must reproduce this exactly, and the planted trailing-token
+    replicas must actually be dropped (recall check)."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.dedup import minhash_signatures, shingles
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 160).select("doc_id", "text")
+    )
+    rows = {int(r.doc_id): r.text for r in docs.collect()}
+    b1 = {i: t for i, t in rows.items() if i < 80}
+    rep = {}
+    for i, t in rows.items():
+        if i < 26:
+            ws = [w for w in t.strip().split() if w]
+            rep[i + 20_000] = " ".join(ws[:max(len(ws) - 1, 1)]) if ws else ""
+    b2 = {i: t for i, t in rows.items() if i >= 80}
+    b2.update(rep)
+
+    def sig_map(batch: dict) -> dict:
+        df = spark.createDataFrame(
+            sorted(batch.items()), ["doc_id", "text"])
+        return {int(r.id): list(r.signature)
+                for r in minhash_signatures(shingles(df)).collect()}
+
+    bands, rpb, thr = 8, 4, 0.7
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(a, b)) / len(a)
+
+    def bucket_pairs(sigs):
+        pairs = set()
+        for band in range(bands):
+            buckets: dict[tuple, list[int]] = {}
+            for i, s in sigs.items():
+                buckets.setdefault(
+                    tuple(s[band * rpb:(band + 1) * rpb]), []).append(i)
+            for ids in buckets.values():
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        a, b = sorted((ids[x], ids[y]))
+                        if est(sigs[a], sigs[b]) >= thr:
+                            pairs.add((a, b))
+        return pairs
+
+    def keepers(sigs):
+        parent = {i: i for i in sigs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in bucket_pairs(sigs):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id per component
+        by_root: dict[int, int] = {}
+        for i in sigs:
+            r = find(i)
+            by_root[r] = min(by_root.get(r, i), i)
+        return {i for i in sigs if by_root[find(i)] == i}
+
+    sig1, sig2 = sig_map(b1), sig_map(b2)
+    kept0 = keepers(sig1)
+    frontier = {i: sig1[i] for i in kept0}
+    dropped_cross = set()
+    for band in range(bands):
+        fb: dict[tuple, list[int]] = {}
+        for i, s in frontier.items():
+            fb.setdefault(tuple(s[band * rpb:(band + 1) * rpb]), []).append(i)
+        for i, s in sig2.items():
+            for j in fb.get(tuple(s[band * rpb:(band + 1) * rpb]), []):
+                if est(s, frontier[j]) >= thr:
+                    dropped_cross.add(i)
+    surv = {i: s for i, s in sig2.items() if i not in dropped_cross}
+    kept1 = keepers(surv)
+
+    want = {(i, 0) for i in kept0} | {(i, 1) for i in kept1}
+    names, orows = _oracle_rows("str_near_dup_drop")
+    got = {(int(r[names.index("doc_id")]), int(r[names.index("batch")]))
+           for r in orows}
+    assert got == want, (
+        f"str_near_dup_drop oracle != re-derivation: "
+        f"only-oracle={got - want} only-derived={want - got}")
+    planted = set(rep)
+    dropped_planted = planted - kept1
+    assert len(dropped_planted) >= 0.8 * len(planted), (
+        f"planted cross-batch near-dups mostly survived: "
+        f"{len(dropped_planted)}/{len(planted)} dropped")
 
 
 def verify_g7_against_numpy(spark) -> None:

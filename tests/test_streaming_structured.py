@@ -194,3 +194,75 @@ def test_streaming_minhash_cross_batch(spark, tmp_path):
     assert (1, 3) in pairs, rows
     assert all(p == (1, 3) for p in pairs), pairs  # no false pairs
     assert all(r.est_jaccard >= 0.5 for r in rows)
+
+
+def test_streaming_near_dup_filter_decisions(spark, tmp_path):
+    """Cross-batch first-arrival keeper + within-batch min-id keeper +
+    idempotent replay + TTL expiry of the frontier."""
+    from nous_spark.streaming.batch_driver import StreamingNearDupFilter
+
+    base = ("the quick brown fox jumps over the lazy dog near the"
+            " riverbank every single morning")
+    nd = StreamingNearDupFilter(spark, str(tmp_path / "nd"), threshold=0.7)
+    b1 = spark.createDataFrame(
+        [(0, base),
+         (1, "completely different content about spark plans and shuffles"
+             " at scale here"),
+         (2, base + " extra")],           # within-batch near-dup of 0
+        ["doc_id", "text"])
+    assert sorted(r.doc_id for r in nd.process_batch(b1, 0).collect()) \
+        == [0, 1]
+    b2 = spark.createDataFrame(
+        [(10, base + " today"),           # cross-batch near-dup of kept 0
+         (11, "fresh unrelated text with nothing shared between any"
+              " earlier documents at all")],
+        ["doc_id", "text"])
+    assert sorted(r.doc_id for r in nd.process_batch(b2, 1).collect()) \
+        == [11]
+    # replay of a done batch recomputes the same decision (frontier
+    # excludes the current batch id)
+    assert sorted(r.doc_id for r in nd.process_batch(b2, 1).collect()) \
+        == [11]
+
+    # TTL: with a 1-batch frontier horizon, a batch-0 keeper no longer
+    # blocks a near-dup arriving at batch 2
+    nd2 = StreamingNearDupFilter(spark, str(tmp_path / "nd2"),
+                                 threshold=0.7, ttl_batches=1)
+    nd2.process_batch(b1, 0)
+    nd2.process_batch(spark.createDataFrame(
+        [(20, "middle batch with entirely unrelated words about graphs")],
+        ["doc_id", "text"]), 1)
+    late = spark.createDataFrame([(30, base + " again")], ["doc_id", "text"])
+    assert [r.doc_id for r in nd2.process_batch(late, 2).collect()] == [30]
+
+
+def test_start_near_dup_stream_end_to_end(spark, tmp_path):
+    """The foreachBatch wiring: two source files -> two microbatches;
+    kept outputs land per batch and planted cross-batch dups are gone."""
+    import glob
+
+    from nous_spark.streaming.batch_driver import start_near_dup_stream
+
+    base = ("shared boilerplate sentence that repeats across the crawl"
+            " with many identical tokens inside it")
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(0, base), (1, "unique first-batch document body with its own"
+                        " words entirely")],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(10, base + " trailing"), (11, "another unique second-batch"
+                                        " document body distinct again")],
+        ["doc_id", "text"])
+    for b in (b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    q = start_near_dup_stream(
+        spark, src, out, schema="doc_id LONG, text STRING")
+    q.awaitTermination(120)
+    kept = spark.read.parquet(*glob.glob(f"{out}/kept/batch=*"))
+    ids = sorted(r.doc_id for r in kept.collect())
+    # one representative of the boilerplate cluster + the two uniques
+    assert 1 in ids and 11 in ids
+    assert not (0 in ids and 10 in ids)
+    assert len(ids) == 3
