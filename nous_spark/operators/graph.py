@@ -214,80 +214,94 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """G8: connected components = hash-to-min + pointer jumping.
+    """G8: connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — the two-phase algorithm). Pass ``stats={}`` to receive
+    ``stats["rounds"]`` — the executed round count (the chain-stress gate
+    pins it ~log2(diameter)).
 
     Returns (id, component) where component = min vertex id reachable.
-    Each round does
+    Each round rewires the edge set itself (not a label table):
 
-        comp(v) ← min(comp(v), min over neighbors comp(u))   (hash-to-min)
-        comp(v) ← comp(comp(v))                               (pointer jump)
+        large-star: every node u hooks its strictly-larger neighbors to
+                    m = min(Γ(u) ∪ {u})            — halves long chains
+        small-star: every node u hooks its ≤ neighbors (and itself) to
+                    m = min(Γ≤(u) ∪ {u})           — flattens local stars
 
-    The jump is sound because comp(v) is always a vertex reachable from v,
-    so comp(comp(v)) is too (undirected reachability is transitive), and it
-    halves pointer chains each round — O(log n) rounds on long chains
-    instead of O(diameter), which is the difference between 60 and 20 000
-    shuffles on a 100 TB alias graph with stringy components. Lineage is
+    until the edge set is a fixed point, at which time each component is
+    a star centered on its minimum vertex id. This is the proven
+    O(log² n)-round (observed ~log₂ diameter) formulation; the previous
+    hash-to-min + single-pointer-jump version measured O(diameter) rounds
+    on a label-scrambled 2048-path (>200 rounds — the chain-stress test
+    caught it), which at 100 TB alias-graph scale is the difference
+    between ~12 and ~20 000 shuffles. Works for numeric or string vertex
+    ids (min = lexicographic for strings, matching F.min). Lineage is
     truncated every round via localCheckpoint so plans stay bounded.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .persist()
+    # canonical orientation (a > b), self-loops dropped; vertex universe
+    # is fixed from the input so star-rewiring can't lose isolated-after-
+    # filter vertices
+    e0 = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
     )
-    comp = (
-        sym.select(F.col("a").alias("id"))
+    verts = (
+        e0.select(F.col("x").alias("id"))
+        .unionAll(e0.select(F.col("y").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # candidate components: my own (tagged with the pre-round value so
-        # the convergence check below is a narrow scan of the checkpointed
-        # blocks, not a join — one fewer shuffle job per round), plus each
-        # neighbor's current component
-        # __old must keep the id column's own type: a hard-coded long cast
-        # NULLs out string vertex ids (the alias-graph use case), making
-        # every row look changed-then-converged after one round
-        id_type = comp.schema["component"].dataType
-        nbr = (
-            sym.join(comp.withColumnRenamed("id", "b"), "b")
-            .select(
-                F.col("a").alias("id"), F.col("component").alias("__cand"),
-                F.lit(None).cast(id_type).alias("__old"),
-            )
+    cur = (
+        e0.select(
+            F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
-        mine = comp.select(
-            "id", F.col("component").alias("__cand"),
-            F.col("component").alias("__old"),
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    _round = -1
+    for _round in range(max_iter):
+        # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m) for neighbors v > u
+        sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
         )
-        new_comp = (
-            mine.unionAll(nbr)
-            .groupBy("id")
-            .agg(
-                F.min("__cand").alias("component"),
-                F.min("__old").alias("__old"),  # exactly one non-null
-            )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
         )
-        # pointer jump: comp(v) ← comp(comp(v)); component values are always
-        # vertex ids present in new_comp, so the inner join is total
-        jump = new_comp.select(
-            F.col("id").alias("component"), F.col("component").alias("__c2")
+        # small-star on the (a > b)-oriented edges: m(u) = min of u's
+        # smaller neighbors; emit (v, m) for v ≠ m plus (u, m)
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            large.join(smins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionAll(smins.select(F.col("a"), F.col("m").alias("b")))
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
         )
-        new_comp = (
-            new_comp.join(jump, "component")
-            .select("id", F.col("__c2").alias("component"), "__old")
-        )
-        new_comp = new_comp.localCheckpoint(eager=True)
+        # fixed point ⇔ identical canonical edge sets (both distinct,
+        # both (a > b)-oriented, so two anti-join probes are exact)
         changed = (
-            new_comp.filter(F.col("component") != F.col("__old"))
-            .limit(1)
-            .count()
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
         )
-        comp = new_comp.drop("__old")
+        cur = nxt
         if changed == 0:
             break
-    sym.unpersist()
-    return comp
+    if stats is not None:
+        stats["rounds"] = _round + 1
+    # at the fixed point every non-root vertex has exactly the edge
+    # (v, component-min); roots (and any vertex star-rewired away) map to
+    # themselves
+    return verts.join(
+        cur.select(F.col("a").alias("id"), F.col("b").alias("__root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("__root", "id").alias("component"))

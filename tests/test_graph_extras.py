@@ -191,3 +191,33 @@ def test_connected_components_string_ids(spark):
     comp = {r.id: r.component for r in connected_components(e).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
                     "x": "x", "y": "x"}
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Chain/high-diameter stress for G8 (the worst case for
+    hash-to-min): a 2048-vertex path with SHUFFLED vertex labels (so the
+    min id sits at a random chain position) must converge in ~log2(n)
+    rounds thanks to pointer jumping — not O(diameter). Pins the 100 TB
+    round-count claim with a measurement, not an argument."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.graph import connected_components
+
+    n = 2048
+    # bijective odd-multiplier scramble of the label space so the chain's
+    # min label lands mid-chain, maximizing propagation distance
+    perm = lambda i: (i * 2654435761) % n
+    edges = spark.createDataFrame(
+        [(perm(i), perm(i + 1)) for i in range(n - 1)], ["src", "dst"])
+    stats = {}
+    comp = connected_components(edges, max_iter=30, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}   # one component, min id 0
+    # pointer jumping: rounds ~ log2(diameter) (+1 convergence-check
+    # round, x2 slack for hash-to-min propagation lag), far below the
+    # O(n) a pure hash-to-min needs
+    bound = 2 * math.ceil(math.log2(n)) + 1
+    assert stats["rounds"] <= bound, (stats["rounds"], bound)
