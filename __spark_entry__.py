@@ -1034,12 +1034,26 @@ def _q_str_minhash_cands(spark, sf):  # streaming cross-batch LSH candidates
         spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        streaming_minhash_candidates(stream, threshold=0.8)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
+    # state-partition count is pinned per checkpoint at query start; for
+    # a 250-doc gate, 32 partitions mean 32 Python workers + state
+    # stores per micro-batch stage — pure overhead. 8 halves the wall.
+    # (The emitted SET is partitioning-independent.)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_minhash_candidates(stream, threshold=0.8)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        # the bucket-TTL state means availableNow never self-terminates
+        # (empty cleanup batches until the TTL, hours away) — stop as
+        # soon as the input is drained: the round-5 "120 s" reading was
+        # a full awaitTermination timeout, not tenancy
+        from nous_spark.streaming.structured import await_input_drained
+        await_input_drained(q, timeout=120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # the emitted (band, a, b, est) SET is batching-independent (every
     # co-bucketed pair is compared exactly once per band as long as the
     # state cap is not hit — 250 docs < cap 256)

@@ -260,10 +260,25 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=True)
     )
+
+    # fixed-point detection: a cheap one-row signature scan per round
+    # (count + overflow-safe decimal hash-sum — ANSI mode errors on LONG
+    # sum overflow); only when signatures collide do the two exact
+    # anti-join probes, so the exact set-compare shuffles are paid once,
+    # at convergence, not every round
+    def _sig(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(28,0)")).alias("h"),
+        ).first()
+
+    prev_sig = _sig(cur)
     _round = -1
     for _round in range(max_iter):
         # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
-        # emit (v, m) for neighbors v > u
+        # emit (v, m) for neighbors v > u. No dedup here — duplicate
+        # (v, m) rows don't change any min and are collapsed at nxt,
+        # saving one (a, b) shuffle per round
         sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
@@ -273,7 +288,6 @@ def connected_components(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .dropDuplicates(["a", "b"])
         )
         # small-star on the (a > b)-oriented edges: m(u) = min of u's
         # smaller neighbors; emit (v, m) for v ≠ m plus (u, m)
@@ -286,15 +300,20 @@ def connected_components(
             .dropDuplicates(["a", "b"])
             .localCheckpoint(eager=True)
         )
-        # fixed point ⇔ identical canonical edge sets (both distinct,
-        # both (a > b)-oriented, so two anti-join probes are exact)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
-        )
-        cur = nxt
-        if changed == 0:
-            break
+        sig = _sig(nxt)
+        if sig == prev_sig:
+            # fixed point ⇔ identical canonical edge sets (both distinct,
+            # both (a > b)-oriented) — confirm the signature exactly
+            changed = (
+                nxt.exceptAll(cur).limit(1).count()
+                + cur.exceptAll(nxt).limit(1).count()
+            )
+            cur = nxt
+            if changed == 0:
+                break
+        else:
+            cur = nxt
+        prev_sig = sig
     if stats is not None:
         stats["rounds"] = _round + 1
     # at the fixed point every non-root vertex has exactly the edge

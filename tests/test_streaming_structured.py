@@ -188,7 +188,8 @@ def test_streaming_minhash_cross_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(180)
+    from nous_spark.streaming.structured import await_input_drained
+    await_input_drained(q, timeout=180)
     rows = spark.sql("SELECT * FROM mh_cand").collect()
     pairs = {(r.a, r.b) for r in rows}
     assert (1, 3) in pairs, rows
