@@ -60,8 +60,8 @@ def main() -> None:
     run("star_4096", [(0, i) for i in range(1, n)], n, 2)
     # 2-level tree: 64 hubs x 63 leaves
     edges = [(0, h) for h in range(1, 65)]
-    edges += [(h, 64 + (h - 1) * 63 + j) for h in range(1, 65) for j in range(63)]
-    run("tree_2lvl_4096", edges, 65 + 64 * 63, 4)
+    edges += [(h, 65 + (h - 1) * 63 + j) for h in range(1, 65) for j in range(63)]
+    run("tree_2lvl_4097", edges, 65 + 64 * 63, 4)
 
     out = {"metric": "cc_rounds_vs_diameter", "algorithm":
            "large-star/small-star (Kiveris et al. SoCC'14)",
