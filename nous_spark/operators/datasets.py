@@ -1,0 +1,173 @@
+"""Training-set assembly operators: deterministic splits, shard packing,
+and source-mixture rebalancing.
+
+These sit downstream of the curation funnel (curation.py): once a corpus
+is cleaned, a training pipeline still has to (a) carve out train/val/test
+splits that are stable under re-runs and repartitioning, (b) pack
+documents into fixed-token-budget shards for the data loader, and (c)
+resample sources toward a target mixture (e.g. 60% web / 30% code /
+10% reference). All three are pure Catalyst column expressions or
+partitioned window aggregations — no UDFs, no driver loops.
+
+Determinism contract: every random-looking decision is keyed on
+``md5(content key)`` so the same row lands in the same split/sample on
+every run, on any cluster layout, at any parallelism. At 100 TB swap
+``F.md5`` for ``F.xxhash64`` (cheaper, same stability) — md5 is used here
+so the DuckDB oracle can run the byte-identical chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 60-bit bucket hash: conv(first 15 hex chars of md5, 16, 10). Fits a
+# signed long; DuckDB twin is ('0x' || substr(md5(x),1,15))::UBIGINT.
+_PPM = 1_000_000
+
+
+def _hash_ppm(col, salt: str):
+    """Deterministic per-row draw in [0, 1e6): md5-bucket the salted key.
+
+    The salt namespaces independent decisions (split vs sample) so they
+    are uncorrelated even on the same key column.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(_PPM))
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign each row a deterministic split label ('train'/'val'/...).
+
+    ``weights`` maps split name -> share (must sum to ~1; the last split
+    absorbs rounding). Assignment is content-keyed (hash of ``id_col``),
+    so it is stable under re-runs, repartitioning, and row order — the
+    property a partition-index-based randomSplit does NOT have. Zero
+    shuffle: one projection over the scan.
+
+    100 TB: each row is one md5 + one comparison chain; splits can be
+    written out with partitionBy("split") so the loader prunes files.
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must name at least one split")
+    # integer ppm thresholds; last split takes the remainder to 1e6
+    cum, bounds = 0, []
+    for name in names[:-1]:
+        cum += int(round(weights[name] * _PPM))
+        bounds.append((name, cum))
+    draw = _hash_ppm(F.col(id_col).cast("string"), salt)
+    expr = F.lit(names[-1])
+    for name, bound in reversed(bounds):
+        expr = F.when(draw < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pack_into_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partition_col: str | None = "source",
+) -> DataFrame:
+    """Assign each document a shard id by cumulative token offset.
+
+    Within each ``partition_col`` group, documents are laid out in
+    ``order_col`` order and ``shard_id = floor(offset / budget)`` where
+    ``offset`` is the token count of everything before the document. A
+    document whose span crosses a budget boundary belongs to the shard it
+    starts in, so a shard may exceed the budget by at most one document —
+    the standard contract for sequence-packing writers (the loader packs
+    greedily and lets the final sequence of a shard truncate).
+
+    One partitioned window aggregation: shuffles once on
+    ``partition_col`` and sorts within partitions — no global sort, so
+    the plan parallelizes across sources. With ``partition_col=None`` the
+    window is global (single-task sort): correct, but only for small
+    frames — at 100 TB always pack per source/date bucket.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if partition_col is None:
+        w = Window.orderBy(order_col)
+    else:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_col)).over(w).cast("long")
+    offset = (cum - F.col(token_col)).cast("long")
+    return (
+        df.withColumn("token_offset", offset)
+        .withColumn(
+            "shard_id", F.floor(offset / F.lit(budget_tokens)).cast("long")
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_shares_ppm: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Downsample sources toward a target mixture, deterministically.
+
+    ``target_shares_ppm`` maps source value -> target share in parts per
+    million (integers, summing to <= 1e6; exact integers keep the Spark
+    plan and the SQL oracle bit-identical — no float thresholds).
+    Sources absent from the map are dropped.
+
+    The largest feasible output size ``T`` keeps every source at or
+    below its available count: ``T = min_s floor(n_s * 1e6 / share_s)``.
+    Each source then accepts rows whose content-keyed draw falls under
+    ``thr_s = floor(share_s * T / n_s)`` per million — i.e. sampling is a
+    pure filter keyed on md5(id), reproducible on any cluster.
+
+    Plan shape: one groupBy(source) count (tiny — one row per source),
+    broadcast back as a literal-free join, then a column filter. The
+    count aggregate is the only shuffle, and it is map-side combined.
+    Expected output share of source s is share_s/sum(shares) with
+    per-source error < 1/1e6 + sampling noise.
+    """
+    if not target_shares_ppm:
+        raise ValueError("target_shares_ppm must name at least one source")
+    shares = F.create_map(
+        *[x for k, v in sorted(target_shares_ppm.items())
+          for x in (F.lit(k), F.lit(int(v)))]
+    )
+    counts = (
+        df.filter(F.col(source_col).isin(*target_shares_ppm))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__share", shares[F.col(source_col)])
+        .withColumn(
+            "__t_cap", F.floor(F.col("__n") * F.lit(_PPM) / F.col("__share"))
+        )
+    )
+    # T = min cap over sources; keep the per-source rows via a windowless
+    # cross-join against the 1-row min aggregate (broadcast, no shuffle)
+    t_total = counts.agg(F.min("__t_cap").alias("__t"))
+    rates = (
+        counts.crossJoin(F.broadcast(t_total))
+        .withColumn(
+            "accept_ppm",
+            F.floor(F.col("__share") * F.col("__t") / F.col("__n"))
+            .cast("long"),
+        )
+        .select(source_col, "accept_ppm")
+    )
+    draw = _hash_ppm(F.col(id_col).cast("string"), salt)
+    return (
+        df.withColumn("__draw", draw)
+        .join(F.broadcast(rates), source_col)
+        .filter(F.col("__draw") < F.col("accept_ppm"))
+        .drop("__draw", "accept_ppm")
+    )

@@ -324,3 +324,190 @@ def connected_components(
         "id",
         "left",
     ).select("id", F.coalesce("__root", "id").alias("component"))
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected simple-graph view: (a < b), self-loops dropped,
+    duplicates collapsed."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts (Suri & Vassilvitskii, WWW'11 —
+    degree-ordered orientation).
+
+    Each edge is oriented from its lower-rank endpoint to its higher-rank
+    endpoint, where rank = (degree, id). Wedges are then enumerated only
+    at their lowest-rank vertex: the self-join fan-out per vertex is
+    bounded by its ORIENTED out-degree ≤ O(sqrt(m)) on any graph, so a
+    celebrity hub with 10^7 followers contributes ~sqrt-bounded wedge
+    pairs, not 10^14 — the property that makes this the standard
+    MapReduce triangle algorithm at web scale. Closing edges are checked
+    with one join back to the oriented edge set.
+
+    Two shuffles beyond the degree computation (wedge join + closing
+    join), all map-side combinable. Returns (id, n_triangles) for every
+    vertex of the graph (zero-triangle vertices included, so the output
+    is a total vertex attribute like ``degrees``).
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = degrees(e, "a", "b")
+    # orientation rank: (degree, id) — total order, deterministic
+    ra = deg.select(
+        F.col("id").alias("a"), F.col("degree").alias("da")
+    )
+    rb = deg.select(
+        F.col("id").alias("b"), F.col("degree").alias("db")
+    )
+    ed = e.join(ra, "a").join(rb, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges at u: pairs (v, w) of out-neighbors; order by (v < w) on the
+    # raw ids only to avoid double-counting the pair, then close with an
+    # oriented edge in EITHER direction (orientation of the closing edge
+    # depends on v/w ranks)
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = (
+        oriented.join(o2, "u")
+        .filter(F.col("v") < F.col("w"))
+    )
+    # the closing-edge set IS the canonical (a < b) edge set — orientation
+    # only matters for wedge generation
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])  # (u, v, w) triangles
+    per_vertex = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    verts = deg.select("id")
+    return verts.join(per_vertex, "id", "left").select(
+        "id",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_neighbor_degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for non-adjacent vertex pairs
+    at distance 2: score(x, y) = Σ_{w ∈ Γ(x)∩Γ(y)} 1 / ln(deg(w)).
+
+    The non-embedding complement to the BPR ranker (link_prediction.py)
+    and the alias-suggestion signal for entity linking: high-score
+    non-edges are merge candidates. Common neighbors have degree ≥ 2 by
+    construction, so ln(deg) ≥ ln 2 — no division hazard.
+
+    Scale shape: pairs are generated per common neighbor w — a
+    deg(w)-choose-2 blowup, the same hub hazard as any common-neighbor
+    method. ``max_neighbor_degree`` drops hub intermediates BEFORE the
+    pair join (standard practice: a w with 10^6 neighbors contributes
+    ~1/ln(10^6) ≈ 0.07 per pair — huge cost, negligible signal), making
+    candidate volume Σ min(deg, cap)² — linear in edges for fixed cap.
+    Existing edges are removed with one anti-join; ``top_k`` keeps the
+    best suggestions per left vertex (partitioned window, no global
+    sort). Scores rounded 6dp. Returns (x, y, n_common, score), x < y.
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("w"), F.col("b").alias("n"))
+    # per-intermediate degree + optional hub cap, computed on the
+    # symmetric view itself (one groupBy)
+    wdeg = sym.groupBy("w").agg(F.count("*").alias("wd"))
+    if max_neighbor_degree is not None:
+        wdeg = wdeg.filter(F.col("wd") <= max_neighbor_degree)
+    nbrs = sym.join(wdeg, "w")
+    n2 = nbrs.select(
+        F.col("w"), F.col("n").alias("m"), F.col("wd")
+    )
+    pairs = (
+        nbrs.join(n2, ["w", "wd"])
+        .filter(F.col("n") < F.col("m"))
+        .groupBy(F.col("n").alias("x"), F.col("m").alias("y"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("wd").cast("double"))), 6)
+            .alias("score"),
+        )
+    )
+    out = pairs.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    if top_k is not None:
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("x").orderBy(
+            F.col("score").desc(), F.col("y").asc()
+        )
+        out = (
+            out.withColumn("__r", F.row_number().over(win))
+            .filter(F.col("__r") <= top_k)
+            .drop("__r")
+        )
+    return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    has degree ≥ k (undirected, simple). The standard noise filter
+    before community detection / dense-region mining on the entity
+    graph — peeling throws away the long tail of weakly-attached
+    extraction artifacts.
+
+    Iterative peel: drop vertices with current degree < k, delete their
+    edges, repeat to fixpoint. Each round is one degree aggregation and
+    two semi-joins; the edge frame shrinks monotonically, and rounds are
+    localCheckpointed so lineage stays bounded (same discipline as
+    connected_components). Round count is bounded by the peel depth —
+    small in practice (web graphs: tens), and each round touches only
+    the surviving subgraph, so total work is O(m · depth) worst case but
+    ~O(m) on real degree distributions. Returns (id, core_degree) for
+    surviving vertices; empty frame if the k-core is empty.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        deg = degrees(cur, "a", "b")
+        # short-circuit convergence probe: any vertex below k?
+        if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+            break
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        kv = keep.select(F.col("id").alias("__kv"))
+        nxt = cur.join(kv, cur.a == F.col("__kv"), "left_semi")
+        nxt = nxt.join(kv, nxt.b == F.col("__kv"), "left_semi")
+        cur = nxt.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return degrees(cur, "a", "b").select(
+        "id", F.col("degree").cast("long").alias("core_degree")
+    )

@@ -436,3 +436,56 @@ def quality_logit_expr(
     for w, name in zip(weights, QUALITY_MODEL_FEATURES):
         z = z + F.lit(float(w)) * feats[name]
     return z
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the cheap per-doc topical
+    summary used for corpus exploration, domain tagging, and as blocking
+    keys for topical dedup.
+
+    tf is the in-doc term count, idf = ln(N / df) over the corpus (plain
+    log ratio: corpus-wide terms score ~0 and drop out of the top-k
+    naturally). N is derived inside the plan (1-row count aggregate,
+    broadcast cross-join — same lazy idiom as unigram_logprob_scores).
+
+    Plan shape: explode -> per-(doc,term) count -> term df aggregate
+    (map-side combined, broadcast back when the vocabulary fits an
+    executor; set ``broadcast_vocab=False`` past that and AQE handles the
+    stop-word skew) -> per-doc top-k window. The window partitions by
+    doc id — thousands of tiny sorts in parallel, no global ordering.
+    Ranking is (rounded score desc, term asc): fully deterministic and
+    stable across engines. Emits (id, rank, term, tf, score).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    e = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = e.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs))
+    rhs = F.broadcast(idf) if broadcast_vocab else idf
+    scored = tf.join(rhs, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.col("__n") / F.col("__df")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"),
+                "term", F.col("tf").cast("long").alias("tf"), "score")
+    )

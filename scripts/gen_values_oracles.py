@@ -58,6 +58,10 @@ GATES = [
     # sequence from the batch signatures, plus a planted-drop recall
     # check
     "str_near_dup_drop",
+    # round-6 batch 2: the k-core peel is iterative-until-fixpoint
+    # (inexpressible in one SQL pass); VALUES rows verified below by an
+    # independent plain-Python peel straight from the parquet
+    "g_k_core",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -185,6 +189,57 @@ def main() -> None:
     verify_streaming_near_dup(spark)
     print("str_near_dup_drop: greedy two-batch re-derivation + planted "
           "recall OK")
+    verify_k_core()
+    print("g_k_core: independent Python peel check OK")
+
+
+def verify_k_core() -> None:
+    """Re-derive the 6-core of the mod-20 part-co-occurrence graph with a
+    plain-Python peel straight from the parquet (no Spark in the loop)
+    and require the oracle's (id, core_degree) rows to match exactly."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(
+        tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()
+    ):
+        if ok % 20 == 0:
+            by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 6:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+    want = sorted((v, len(ns)) for v, ns in adj.items())
+    got = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duckdb.sql(
+            json.load(open(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "fixtures", "values_oracles.json")))["g_k_core"]
+        ).fetchall()
+    )
+    assert got == want, (
+        f"k-core mismatch: {len(got)} oracle rows vs {len(want)} python "
+        f"rows; first diff "
+        f"{next((p for p in zip(got, want) if p[0] != p[1]), None)}"
+    )
 
 
 def verify_ngram_pairs() -> None:

@@ -1,0 +1,268 @@
+"""Training-set assembly (split/pack/mixture), TF-IDF keywords, and the
+round-6 graph additions (triangles, Adamic-Adar, k-core) — each against
+an independent pure-Python oracle on small deterministic inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from nous_spark.operators.datasets import (
+    mixture_sample,
+    pack_into_shards,
+    split_dataset,
+)
+from nous_spark.operators.graph import (
+    adamic_adar_scores,
+    k_core,
+    triangle_counts,
+)
+from nous_spark.operators.textstats import tfidf_keywords
+
+PPM = 1_000_000
+
+
+def _ppm(salt: str, key: str) -> int:
+    h = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+    return h % PPM
+
+
+# ---------------------------------------------------------------- datasets
+
+
+def test_split_dataset_matches_hash_oracle(spark):
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["doc_id"])
+    out = split_dataset(
+        df, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="s1"
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    for i in range(3000):
+        d = _ppm("s1", str(i))
+        want = "train" if d < 900_000 else ("val" if d < 950_000 else "test")
+        assert got[i] == want, (i, d, got[i], want)
+    # shares land near targets
+    c = Counter(got.values())
+    assert abs(c["train"] / 3000 - 0.9) < 0.02
+    assert abs(c["val"] / 3000 - 0.05) < 0.015
+
+
+def test_split_dataset_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {r.doc_id: r.split
+         for r in split_dataset(df, {"train": 0.8, "val": 0.2}).collect()}
+    b = {r.doc_id: r.split
+         for r in split_dataset(
+             df.repartition(17), {"train": 0.8, "val": 0.2}).collect()}
+    assert a == b
+
+
+def test_pack_into_shards_offsets_and_budget(spark):
+    rows = [(i, "web" if i % 2 == 0 else "code", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = pack_into_shards(df, budget_tokens=100).collect()
+    # oracle: per-source cumulative offsets in doc_id order
+    per_src = defaultdict(list)
+    for i, s, n in rows:
+        per_src[s].append((i, n))
+    want = {}
+    for s, docs in per_src.items():
+        off = 0
+        for i, n in sorted(docs):
+            want[i] = (off, off // 100)
+            off += n
+    for r in out:
+        assert (r.token_offset, r.shard_id) == want[r.doc_id], r
+    # every shard holds >= 1 doc and consecutive shard ids per source
+    by_src = defaultdict(set)
+    for r in out:
+        by_src[r.source].add(r.shard_id)
+    for s, shards in by_src.items():
+        assert shards == set(range(max(shards) + 1))
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    rows = [(i, "web") for i in range(6000)] + \
+           [(i + 10_000, "code") for i in range(3000)] + \
+           [(i + 20_000, "ref") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # targets: 50/25/25 — ref is the binding source (1000 docs / 25%)
+    tgt = {"web": 500_000, "code": 250_000, "ref": 250_000}
+    out = mixture_sample(df, tgt, salt="m1").collect()
+    c = Counter(r.source for r in out)
+    # T = min(6000/.5, 3000/.25, 1000/.25) = 4000
+    assert c["ref"] > 900  # ref accepted ~fully (binding)
+    total = sum(c.values())
+    assert abs(c["web"] / total - 0.50) < 0.03
+    assert abs(c["code"] / total - 0.25) < 0.03
+    assert abs(c["ref"] / total - 0.25) < 0.03
+    # determinism: membership is exactly the hash rule
+    n_web, t = 6000, 4000
+    thr = (500_000 * t) // n_web
+    kept_web = {r.doc_id for r in out if r.source == "web"}
+    want_web = {i for i in range(6000) if _ppm("m1", str(i)) < thr}
+    assert kept_web == want_web
+
+
+def test_mixture_sample_drops_unlisted_sources(spark):
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "junk")], ["doc_id", "source"]
+    )
+    out = mixture_sample(df, {"web": PPM}).collect()
+    assert all(r.source == "web" for r in out)
+
+
+# ----------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_keywords_vs_python_oracle(spark):
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana durian"),
+        (2, "cherry durian elderberry elderberry elderberry"),
+        (3, "apple banana cherry durian"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = defaultdict(list)
+    for r in tfidf_keywords(df, k=2).orderBy("doc_id", "rank").collect():
+        got[r.doc_id].append((r.rank, r.term, r.tf, r.score))
+    n = len(docs)
+    dfreq = Counter()
+    for _, t in docs:
+        dfreq.update(set(t.split()))
+    for did, text in docs:
+        tf = Counter(text.split())
+        scored = sorted(
+            ((round(c * math.log(n / dfreq[w]), 6), w, c) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want = [(i + 1, w, c, s) for i, (s, w, c) in enumerate(scored)]
+        assert got[did] == want, (did, got[did], want)
+
+
+# ------------------------------------------------------------------ graph
+
+
+def _tri_oracle(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    count = Counter({v: 0 for v in adj})
+    vs = sorted(adj)
+    for u in vs:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    count[u] += 1
+                    count[v] += 1
+                    count[w] += 1
+    return dict(count)
+
+
+def test_triangle_counts_small_graphs(spark):
+    # K4 (4 triangles, 3 per vertex) + a pendant + a square (0 triangles)
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 9)]
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == _tri_oracle(edges)
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 1), (2, 2)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_adamic_adar_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.x, r.y): (r.n_common, r.score)
+           for r in adamic_adar_scores(e).collect()}
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    want = {}
+    vs = sorted(adj)
+    for i, x in enumerate(vs):
+        for y in vs[i + 1:]:
+            if y in adj[x]:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                s = round(sum(1.0 / math.log(len(adj[w])) for w in common), 6)
+                want[(x, y)] = (len(common), s)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][0] == want[p][0]
+        assert abs(got[p][1] - want[p][1]) < 1e-6
+
+
+def test_adamic_adar_hub_cap_and_topk(spark):
+    # star hub 0 with 10 leaves plus a 2-path a-b-c
+    edges = [(0, i) for i in range(1, 11)] + [(100, 101), (101, 102)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    capped = adamic_adar_scores(e, max_neighbor_degree=5).collect()
+    # hub (degree 10) excluded as intermediate: only the a-b-c wedge left
+    assert {(r.x, r.y) for r in capped} == {(100, 102)}
+    top = adamic_adar_scores(e, top_k=3).collect()
+    per_x = Counter(r.x for r in top)
+    assert all(v <= 3 for v in per_x.values())
+
+
+def _kcore_oracle(edges, k):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_k_core_peels_tail(spark):
+    # K5 core + a chain hanging off it + an isolated triangle
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(4, 10), (10, 11), (11, 12)]
+        + [(20, 21), (21, 22), (22, 20)]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = {r.id: r.core_degree for r in k_core(e, k).collect()}
+        assert got == _kcore_oracle(edges, k), k
+    assert k_core(e, 5).count() == 0
+
+
+def test_k_core_cascade_rounds(spark):
+    # a chain peels one vertex per round from each end: stats sees > 1 round
+    edges = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    stats = {}
+    out = k_core(e, 2, stats=stats).collect()
+    assert out == []
+    assert stats["rounds"] > 1
