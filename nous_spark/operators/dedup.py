@@ -187,17 +187,25 @@ def srp_candidate_pairs(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    approx_count: int | None = None,
 ) -> DataFrame:
     """SRP-LSH candidate (a, b) pairs with a < b. ``n_bits=None`` →
     ceil(log2(n)) + 1 (min 8), keeping expected random-pair collisions
     per vector constant as the corpus grows (see
-    ``embedding_near_duplicates``)."""
+    ``embedding_near_duplicates``).
+
+    Sizing only needs n to within a factor of 2, so when the caller
+    already knows the corpus size (catalog row count, previous stage's
+    count) pass it as ``approx_count`` and the extra count job is
+    skipped; ``df.count()`` runs only when neither ``n_bits`` nor
+    ``approx_count`` is given."""
     from nous_spark.operators.ann import lsh_signatures
 
     if n_bits is None:
         import math
 
-        n_bits = max(8, math.ceil(math.log2(max(df.count(), 2))) + 1)
+        n = approx_count if approx_count is not None else df.count()
+        n_bits = max(8, math.ceil(math.log2(max(n, 2))) + 1)
     sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
                          vec_col=vec_col)
     l = sig.alias("l")
@@ -218,6 +226,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_bits: int | None = None,
     n_tables: int = 8,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: SRP-LSH bucketing for candidates
     (high-cosine pairs collide with high probability), exact cosine
@@ -233,7 +242,8 @@ def embedding_near_duplicates(
     ``n_tables`` if the duplicate threshold is lowered far below 0.95)."""
     from nous_spark.functions.similarity import cosine_col
 
-    cand = srp_candidate_pairs(df, dim, n_bits, n_tables, id_col, vec_col)
+    cand = srp_candidate_pairs(df, dim, n_bits, n_tables, id_col, vec_col,
+                               approx_count=approx_count)
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))

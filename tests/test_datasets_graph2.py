@@ -266,3 +266,56 @@ def test_k_core_cascade_rounds(spark):
     out = k_core(e, 2, stats=stats).collect()
     assert out == []
     assert stats["rounds"] > 1
+
+
+# ------------------------------------------------------------- sessions
+
+
+def test_sessionize_vs_python_oracle(spark):
+    import datetime as dt
+
+    from nous_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, value=1.0):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), value)
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 10), ev(2, 1, 29),      # u1 s0 (gaps < 30)
+        ev(3, 1, 60), ev(4, 1, 89),                   # u1 s1 (31-min gap)
+        ev(5, 2, 0),                                  # u2 s0
+        ev(6, 2, 31),                                 # u2 s1 (31 > 30)
+        ev(7, 3, 0), ev(8, 3, 30),                    # u3 s0 (exactly 30 continues)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {r.event_id: (r.session_idx, r.session_id)
+           for r in sessionize(df).collect()}
+    want = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1, 7: 0, 8: 0}
+    for eid, idx in want.items():
+        uid = [r for r in rows if r[0] == eid][0][1]
+        assert got[eid] == (idx, f"{uid}#{idx}"), (eid, got[eid])
+
+    stats = {(r.user_id, r.session_idx): r for r in session_stats(df).collect()}
+    assert stats[(1, 0)].n_events == 3
+    assert stats[(1, 0)].duration_us == 29 * 60 * 1_000_000
+    assert stats[(1, 1)].n_events == 2
+    assert stats[(2, 1)].n_events == 1
+    assert stats[(2, 1)].duration_us == 0
+    assert stats[(3, 0)].n_events == 2
+    assert abs(stats[(1, 0)].sum_value - 3.0) < 1e-9
+
+
+def test_sessionize_tied_timestamps_deterministic(spark):
+    import datetime as dt
+
+    from nous_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, 7, t0), (1, 7, t0), (2, 7, t0 + dt.timedelta(hours=2)),
+            (3, 7, t0 + dt.timedelta(hours=2))]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    a = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    b = {r.event_id: r.session_idx
+         for r in sessionize(df.repartition(13)).collect()}
+    assert a == b == {0: 0, 1: 0, 2: 1, 3: 1}
