@@ -9,12 +9,14 @@ Everything stays a Catalyst plan: the scalar signals are pure column
 expressions computed in the SAME scan (no second pass over the text),
 and the two dedup stages are the existing groupBy / connected-components
 operators joined back by key. Plan shape (audited): the keeper
-group-and-join references the filtered subtree on both sides, so the
-executed plan scans the source twice with all filters pushed into both
-scans — the standard shape for a self-aggregation join (a per-hash
-window would be one scan but lands whole duplicate groups in single
-tasks; wrong at web scale). At 100 TB, `.persist()` the filtered
-survivors first if the funnel feeds further passes.
+group-and-join references the filtered subtree on both sides — the
+standard shape for a self-aggregation join (a per-hash window would be
+one scan but lands whole duplicate groups in single tasks; wrong at web
+scale) — so by default the filtered-survivor frame is materialized once
+(localCheckpoint) and every dedup arm reads the checkpointed blocks
+instead of re-running the regex-heavy signal subtree per arm
+(``materialize=False`` restores the fully-lazy single plan for callers
+composing the funnel into a larger one).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ def clean_corpus(
     min_quality_prob: float | None = None,
     quality_weights: tuple[float, ...] | None = None,
     quality_bias: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Return the KEPT documents (original columns) plus a ``keep_reason``
     trail of which filters passed; dropped docs are simply absent.
@@ -90,6 +93,15 @@ def clean_corpus(
         prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         keep_cond = keep_cond & (prob >= F.lit(float(min_quality_prob)))
     kept = d.filter(keep_cond)
+    # the filtered-survivor frame feeds every dedup arm below (keeper
+    # aggregation, keeper join, near-dup survivor join, final anti-join)
+    # — without a barrier Catalyst re-executes the regex-heavy signal
+    # subtree once PER ARM (audited: 6 source scans / 16 Exchanges on
+    # the gate). Materializing survivors once turns that into one
+    # signal pass + block reads; set materialize=False to keep the
+    # fully-lazy plan for composition into a larger one
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
 
     # exact dedup: min-id keeper per md5(text), survivors only — a
     # window would single-task giant duplicate groups; the groupBy+join
@@ -102,6 +114,10 @@ def clean_corpus(
         .drop("__th", "__keep_id")
     )
 
+    if near_dup_pairs is not None and materialize:
+        # same reasoning one stage later: the exact-dedup join feeds the
+        # near-dup survivor join AND the main anti-join path
+        kept = kept.localCheckpoint(eager=True)
     if near_dup_pairs is not None:
         # keeper_id from near_duplicate_clusters is the component label
         # (global min id); re-pick the keeper among rows that SURVIVED

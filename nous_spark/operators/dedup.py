@@ -75,7 +75,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures, bucket-join within bands → candidate pairs.
     The join key is (band, band_hash) — skew-safe because identical
-    signatures collapse; output deduplicated (a, b) with a < b."""
+    signatures collapse; output deduplicated (a, b) with a < b.
+
+    The banded frame is persisted before the self-join: each join side
+    otherwise re-executes the signature aggregate (the num_hashes
+    running-minima pass — the expensive half of the pipeline) so the
+    cache halves signature work; it is also what makes the caller's
+    shingle persist effective across both sides."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -95,7 +101,7 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ])
         ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash")
+    ).select("id", "bh.band", "bh.band_hash").persist()
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -206,8 +212,10 @@ def srp_candidate_pairs(
 
         n = approx_count if approx_count is not None else df.count()
         n_bits = max(8, math.ceil(math.log2(max(n, 2))) + 1)
+    # persist: each self-join side would otherwise re-run the
+    # n_bits*n_tables hyperplane dot products over every vector
     sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col).persist()
     l = sig.alias("l")
     r = sig.alias("r")
     return (

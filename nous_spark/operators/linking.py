@@ -293,8 +293,19 @@ def context_scores(
     a pure join plan that covers the whole corpus in one pass.
 
     candidates(doc_id, mention, entity_id), mentions(doc_id, mention),
-    nbrs(entity_id, nbr_label) → (doc_id, mention, entity_id, ctx_score)."""
-    m = mentions.select("doc_id", "mention").distinct()
+    nbrs(entity_id, nbr_label) → (doc_id, mention, entity_id, ctx_score).
+
+    The deduplicated mention/neighbor/candidate frames each feed two or
+    three join arms, and the caller's frames are often themselves
+    join-built — left lazy, Catalyst re-executes that construction per
+    arm (audited: 12 redundant scans / 18 Exchanges on the gate). Each
+    is materialized once via localCheckpoint; the context self-join
+    stays lazy (it re-derives from the checkpointed mention frame, so
+    its re-execution is a cheap block-read self-join, while
+    materializing the |mentions|²-per-doc expansion itself would cost
+    more than it saves)."""
+    m = mentions.select("doc_id", "mention").distinct() \
+        .localCheckpoint(eager=True)
     ctx = (
         m.alias("a")
         .join(m.alias("b"), "doc_id")
@@ -310,9 +321,10 @@ def context_scores(
     )
     nbr_l = nbrs.select(
         F.col("entity_id").alias("__eid"), F.lower(F.col("nbr_label")).alias("nl")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n_nbr = nbr_l.groupBy("__eid").agg(F.count("*").alias("n_nbrs"))
-    cand = candidates.select("doc_id", "mention", "entity_id").distinct()
+    cand = candidates.select("doc_id", "mention", "entity_id").distinct() \
+        .localCheckpoint(eager=True)
     matched = (
         cand.join(ctx, ["doc_id", "mention"])
         .join(
