@@ -1555,6 +1555,55 @@ def _q_k_core(spark, sf):  # 6-core of the co-occurrence graph
     return k_core(_cooccur_edges(spark, sf, 20), k=6)
 
 
+_PTS_PII_SUFFIX = (
+    " contact: user{id}@example.com ip 10.0.{ip}.7 card"
+    " 4111-1111-1111-1111 ssn 123-45-6789 tel +1 (555) 123-4567"
+)
+
+
+def _q_prepare_training_set(spark, sf):  # corpus -> shards, end to end
+    from nous_spark.operators.datasets import prepare_training_set
+
+    docs = _read(spark, sf, "documents")
+    # plant PII on every 5th doc (same plant as the txt_mask_pii gate) so
+    # the masking stage is binding, BEFORE the funnel so every stage sees
+    # the same text; mirrored literally in the oracle
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 card 4111-1111-1111-1111 ssn 123-45-6789"
+                  " tel +1 (555) 123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.withColumn("text", planted)
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .filter(
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.size(F.array_union("a.toks", "b.toks")).cast("double"),
+                6,
+            )
+            >= 0.8
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    return prepare_training_set(
+        docs, langs=("en",), min_tokens=15, max_dup_line_frac=0.3,
+        max_top_bigram_frac=0.12, near_dup_pairs=pairs, budget_tokens=400,
+    ).select("doc_id", "source", "split", "n_pii", "n_tokens",
+             "token_offset", "shard_id")
+
+
 def _q_sessionize(spark, sf):  # gap-based event sessionization
     from nous_spark.operators.sessions import sessionize
 
@@ -1693,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_k_core": _q_k_core,
         "ev_sessionize": _q_sessionize,
         "ev_session_stats": _q_session_stats,
+        "ds_prepare_training_set": _q_prepare_training_set,
     }
 
 
@@ -2970,6 +3020,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT ag.x, ag.y, ag.n_common, ag.score
             FROM ag LEFT JOIN e ON ag.x = e.a AND ag.y = e.b
             WHERE e.a IS NULL
+        """,
+        "ds_prepare_training_set": """
+            WITH src AS (SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact: user' || doc_id ||
+                          '@example.com ip 10.0.' || (doc_id % 250) ||
+                          '.7 card 4111-1111-1111-1111 ssn 123-45-6789' ||
+                          ' tel +1 (555) 123-4567'
+                     ELSE text END AS text
+              FROM documents),
+            lt AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM src),
+            ls AS (SELECT doc_id,
+              len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM lt),
+            lang AS (SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM ls),
+            rt AS (SELECT doc_id,
+                list_filter(str_split(text, chr(10)),
+                            x -> len(trim(x)) > 0) AS lines,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM src),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            feat AS (SELECT d.doc_id, d.text, lang.lang_pred,
+                CASE WHEN length(trim(d.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN len(rt.lines) > 0
+                     THEN round((len(rt.lines) - len(list_distinct(rt.lines)))
+                                / len(rt.lines)::DOUBLE, 6) ELSE 0.0 END
+                  AS dup_line_frac,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM src d
+              JOIN lang USING (doc_id) JOIN rt USING (doc_id)
+              JOIN g USING (doc_id) LEFT JOIN m USING (doc_id)),
+            f AS (SELECT * FROM feat
+                  WHERE lang_pred = 'en' AND n_tokens >= 15
+                    AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.12),
+            keep AS (SELECT * FROM (
+                SELECT f.*, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+                FROM f) WHERE doc_id = k),
+            jt AS (SELECT doc_id,
+                list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS toks FROM src),
+            p AS (SELECT a.doc_id AS a
+                  FROM jt a JOIN jt b ON a.doc_id + 1 = b.doc_id
+                  WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                              / len(list_distinct(a.toks || b.toks)), 6)
+                        >= 0.8),
+            i AS (SELECT a, a - row_number() OVER (ORDER BY a) AS grp FROM p),
+            isl AS (SELECT min(a) AS lo, max(a) AS hi FROM i GROUP BY grp),
+            members AS (SELECT unnest(range(lo, hi + 2)) AS id, lo AS comp
+                        FROM isl),
+            sm AS (SELECT m.id, m.comp FROM members m
+                   JOIN keep k ON k.doc_id = m.id),
+            nk AS (SELECT comp, min(id) AS nd_keep FROM sm GROUP BY comp),
+            drops AS (SELECT sm.id FROM sm JOIN nk USING (comp)
+                      WHERE sm.id != nk.nd_keep),
+            final AS (SELECT k.doc_id, s.source, k.text
+                      FROM keep k JOIN src s USING (doc_id)
+                      WHERE k.doc_id NOT IN (SELECT id FROM drops)),
+            msk AS (SELECT doc_id, source,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '<PII:email>', 'g'),
+                        '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b',
+                        '<PII:cc>', 'g'),
+                      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<PII:ssn>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '<PII:ipv4>', 'g'),
+                  '\\+?\\b\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}\\b',
+                  '<PII:phone>', 'g') AS masked
+              FROM final),
+            mk AS (SELECT doc_id, source,
+                len(regexp_extract_all(masked, '<PII:[a-z0-9]+>'))::BIGINT
+                  AS n_pii,
+                len(list_filter(regexp_split_to_array(trim(masked), '\\s+'),
+                                x -> len(x) > 0))::BIGINT AS n_tokens
+              FROM msk),
+            sp AS (SELECT *,
+                CASE WHEN ('0x' || substr(md5('split-v1' || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                        % 1000000 < 900000 THEN 'train'
+                     WHEN ('0x' || substr(md5('split-v1' || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                        % 1000000 < 950000 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM mk),
+            pk AS (SELECT *,
+                (sum(n_tokens) OVER (PARTITION BY source, split
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens)::BIGINT AS token_offset
+              FROM sp)
+            SELECT doc_id, source, split, n_pii, n_tokens, token_offset,
+                   (token_offset // 400)::BIGINT AS shard_id
+            FROM pk
         """,
         "ev_sessionize": """
             WITH s AS (SELECT event_id, user_id, ts,

@@ -76,7 +76,7 @@ def pack_into_shards(
     budget_tokens: int,
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
-    partition_col: str | None = "source",
+    partition_col: str | list[str] | None = "source",
 ) -> DataFrame:
     """Assign each document a shard id by cumulative token offset.
 
@@ -99,7 +99,9 @@ def pack_into_shards(
     if partition_col is None:
         w = Window.orderBy(order_col)
     else:
-        w = Window.partitionBy(partition_col).orderBy(order_col)
+        parts = [partition_col] if isinstance(partition_col, str) \
+            else list(partition_col)
+        w = Window.partitionBy(*parts).orderBy(order_col)
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(F.col(token_col)).over(w).cast("long")
     offset = (cum - F.col(token_col)).cast("long")
@@ -170,4 +172,62 @@ def mixture_sample(
         .join(F.broadcast(rates), source_col)
         .filter(F.col("__draw") < F.col("accept_ppm"))
         .drop("__draw", "accept_ppm")
+    )
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    near_dup_pairs: DataFrame | None = None,
+    split_weights: dict[str, float] | None = None,
+    budget_tokens: int = 1_000_000,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """The full corpus-to-training-set path as one composition:
+    curation funnel (lang/quality/repetition filters + exact and
+    near-dup keepers) → PII masking → deterministic split assignment →
+    token-budget shard packing per (source, split).
+
+    This is the operator a user actually runs end-to-end: everything
+    upstream is the individually-gated pieces (``clean_corpus``,
+    ``mask_pii``, ``split_dataset``, ``pack_into_shards``) composed in
+    the order a 100 TB run wants — filters and dedup shrink the corpus
+    BEFORE the masking regexes touch any text, the split label is a
+    zero-shuffle projection, and packing is the only window (partitioned
+    by (source, split), so shards never mix splits and the window
+    parallelizes across both). Token counts are of the MASKED text —
+    what the loader will actually tokenize.
+
+    Emits one row per kept doc: (id, source, split, masked, n_pii,
+    n_tokens, token_offset, shard_id).
+    """
+    from nous_spark.operators.curation import clean_corpus, mask_pii
+
+    kept = clean_corpus(
+        docs, text_col=text_col, id_col=id_col, langs=langs,
+        min_tokens=min_tokens, max_dup_line_frac=max_dup_line_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        near_dup_pairs=near_dup_pairs,
+    )
+    masked = mask_pii(kept, text_col)
+    mtoks = F.filter(F.split(F.trim(F.col("masked")), r"\s+"),
+                     lambda x: F.length(x) > 0)
+    counted = masked.withColumn("n_tokens", F.size(mtoks).cast("long"))
+    labeled = split_dataset(
+        counted, split_weights or {"train": 0.9, "val": 0.05, "test": 0.05},
+        id_col=id_col, salt=salt,
+    )
+    packed = pack_into_shards(
+        labeled, budget_tokens, token_col="n_tokens", order_col=id_col,
+        partition_col=[source_col, "split"],
+    )
+    return packed.select(
+        id_col, source_col, "split", "masked", "n_pii", "n_tokens",
+        "token_offset", "shard_id",
     )

@@ -319,3 +319,45 @@ def test_sessionize_tied_timestamps_deterministic(spark):
     b = {r.event_id: r.session_idx
          for r in sessionize(df.repartition(13)).collect()}
     assert a == b == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+# ------------------------------------------------- end-to-end composition
+
+
+def test_prepare_training_set_contract(spark):
+    from nous_spark.operators.datasets import prepare_training_set
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code",
+         "the quick brown fox jumps over the lazy dog plus filler "
+         f"tokens alpha beta gamma delta epsilon zeta {i}"
+         + (" mail me at bob@example.com" if i % 3 == 0 else ""))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = prepare_training_set(
+        df, langs=("en",), min_tokens=5, budget_tokens=50,
+        split_weights={"train": 0.8, "val": 0.2},
+    ).collect()
+    assert out, "funnel dropped everything"
+    by_shard = defaultdict(set)
+    for r in out:
+        # masking is binding: planted emails became typed sentinels
+        if r.doc_id % 3 == 0:
+            assert r.n_pii >= 1, r
+        # n_tokens counts the MASKED text
+        assert r.n_tokens > 0
+        assert r.split in ("train", "val")
+        by_shard[(r.source, r.split, r.shard_id)].add(r.doc_id)
+    # shards never mix source or split by construction of the key; check
+    # offsets are consistent within each (source, split) lane
+    lanes = defaultdict(list)
+    for r in out:
+        lanes[(r.source, r.split)].append(r)
+    for lane in lanes.values():
+        lane.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in lane:
+            assert r.token_offset == off, (r, off)
+            assert r.shard_id == off // 50
+            off += r.n_tokens
