@@ -1109,6 +1109,42 @@ def _q_str_watermark_counts(spark, sf):  # §2.9 watermarked window agg
     )
 
 
+def _q_str_session_stats(spark, sf):  # §2.9 stateful session windows
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_session_stats
+
+    # two time-split microbatches: sessions STRADDLING the cut must merge
+    # through the session-window state store; append mode then emits only
+    # sessions closed by the final watermark (close = last event + gap,
+    # cutoff mirrored in the oracle)
+    e = _read(spark, sf, "events").select("user_id", "ts", "value")
+    hi = e.agg(F.max("ts").alias("m")).collect()[0].m
+    cut = F.lit(hi) - F.expr("INTERVAL 15 DAYS")
+    src = tempfile.mkdtemp(prefix="strsess_src_")
+    for b in (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut)):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    name = "gate_strsess"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_session_stats(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events",
+        "duration_us", "sum_value"
+    )
+
+
 def _q_neighbor_labels(spark, sf):  # A12 one-hop neighbor label sets
     from nous_spark.operators.graph import neighbor_labels
 
@@ -1743,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _q_sessionize,
         "ev_session_stats": _q_session_stats,
         "ds_prepare_training_set": _q_prepare_training_set,
+        "str_session_stats": _q_str_session_stats,
     }
 
 
@@ -3184,6 +3221,34 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_us,
                    round(sum(value), 6) AS sum_value
             FROM x GROUP BY user_id, session_idx
+        """,
+        "str_session_stats": """
+            WITH s AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                     THEN 1 ELSE 0 END AS nw
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sess
+                  FROM s),
+            agg AS (SELECT user_id,
+                       min(ts) AS session_start, max(ts) AS session_end,
+                       count(*)::BIGINT AS n_events,
+                       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                         AS duration_us,
+                       round(sum(value), 6) AS sum_value
+                    FROM x GROUP BY user_id, sess),
+            wm AS (SELECT max(ts) AS hi FROM events)
+            -- append mode emits a session once the watermark passes its
+            -- close (last event + 30 min gap); final watermark is
+            -- max(ts) - 2 h
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+                   a.duration_us, a.sum_value
+            FROM agg a CROSS JOIN wm
+            WHERE a.session_end + INTERVAL 30 MINUTE
+                  <= wm.hi - INTERVAL 2 HOUR
         """,
         # Every remaining gate is VALUES-oracled below (merged from
         # fixtures/values_oracles.json): the hash-family gates

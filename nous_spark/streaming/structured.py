@@ -310,3 +310,48 @@ def streaming_contamination_matches(
         F.explode("shingle_hashes").alias("gram"),
     )
     return d.join(F.broadcast(e), "gram").select(id_col, eval_id_col, "gram")
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/sessions.py::session_stats: per-user
+    session rollups over an event STREAM via Spark's native
+    ``session_window`` — sessions merge across microbatches through the
+    state store, and append mode emits a session once the watermark
+    passes its close (last event + gap), giving exactly-once session
+    rows with bounded state.
+
+    Boundary nuance vs the batch operator: ``session_window`` is
+    half-open (an event exactly ``gap`` after the last one starts a NEW
+    session) while the batch gaps-and-islands form lets an exact-gap
+    event continue the session — indistinguishable on microsecond event
+    time, but documented for synthetic integer-second inputs.
+
+    Works identically on a static frame (tests) and a readStream frame.
+    """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            user_col, "session_start", "session_end", "n_events",
+            (F.unix_micros(F.col("session_end"))
+             - F.unix_micros(F.col("session_start"))).alias("duration_us"),
+            "sum_value",
+        )
+    )

@@ -267,3 +267,40 @@ def test_start_near_dup_stream_end_to_end(spark, tmp_path):
     assert 1 in ids and 11 in ids
     assert not (0 in ids and 10 in ids)
     assert len(ids) == 3
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """streaming_session_stats on a STATIC frame must agree with the
+    batch gaps-and-islands rollup (same gap, no watermark cutoff in
+    static mode) — pins the session_window semantics to the batch
+    contract on microsecond-grain data."""
+    import datetime as dt
+
+    from nous_spark.operators.sessions import session_stats
+    from nous_spark.streaming.structured import streaming_session_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        t = t0
+        for k in range(40):
+            # gaps cycle through 1..50 minutes with odd microseconds, so
+            # several sessions per user and no exact-boundary gaps
+            t = t + dt.timedelta(minutes=1 + (k * 7) % 50,
+                                 microseconds=123 + k)
+            rows.append((eid, uid, t, float(k % 9)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.duration_us, r.sum_value)
+        for r in streaming_session_stats(df).collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.duration_us, r.sum_value)
+        for r in session_stats(df).collect()
+    }
+    assert got == want
