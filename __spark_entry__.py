@@ -1640,6 +1640,12 @@ def _q_prepare_training_set(spark, sf):  # corpus -> shards, end to end
              "token_offset", "shard_id")
 
 
+def _q_label_propagation(spark, sf):  # LPA communities, capped sync loop
+    from nous_spark.operators.graph import label_propagation
+
+    return label_propagation(_cooccur_edges(spark, sf, 20), max_iter=10)
+
+
 def _q_sessionize(spark, sf):  # gap-based event sessionization
     from nous_spark.operators.sessions import sessionize
 
@@ -1780,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_stats": _q_session_stats,
         "ds_prepare_training_set": _q_prepare_training_set,
         "str_session_stats": _q_str_session_stats,
+        "g_label_propagation": _q_label_propagation,
     }
 
 

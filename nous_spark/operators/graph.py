@@ -522,3 +522,57 @@ def k_core(
     return degrees(cur, "a", "b").select(
         "id", F.col("degree").cast("long").alias("core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made fully deterministic: every vertex starts with its own
+    id as label and each round adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. Deterministic sync
+    updates can oscillate on bipartite-ish structure, so the loop stops
+    at stability OR ``max_iter`` — with identical inputs the output is
+    bit-reproducible either way (the property the oracle needs; the
+    GraphX reference behavior is the same capped sync loop).
+
+    Per round: one join (neighbor labels), one (vertex, label) count
+    aggregate, one argmax via max(struct(cnt, -label)) — all map-side
+    combinable, labels checkpointed per round (bounded lineage, same
+    discipline as connected_components). Returns (id, label) where label
+    is a community representative's vertex id.
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        counted = nbr.groupBy("id", "label").agg(F.count("*").alias("c"))
+        # argmax: max count, then smallest label (negate inside struct)
+        nxt = counted.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+            .alias("m")
+        ).select("id", (-F.col("m.nl")).alias("label")) \
+            .localCheckpoint(eager=True)
+        changed = (
+            labels.join(nxt.withColumnRenamed("label", "nl"), "id")
+            .filter(F.col("label") != F.col("nl")).limit(1).count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels

@@ -62,6 +62,10 @@ GATES = [
     # (inexpressible in one SQL pass); VALUES rows verified below by an
     # independent plain-Python peel straight from the parquet
     "g_k_core",
+    # deterministic sync label propagation (iterative, capped) —
+    # verified below by an independent plain-Python sync-LPA from the
+    # parquet with the identical tie-break and cap
+    "g_label_propagation",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -191,6 +195,66 @@ def main() -> None:
           "recall OK")
     verify_k_core()
     print("g_k_core: independent Python peel check OK")
+    verify_label_propagation()
+    print("g_label_propagation: independent Python sync-LPA check OK")
+
+
+def _cooccur_adj_mod20():
+    """Adjacency of the mod-20 part co-occurrence graph, straight from
+    the parquet (shared by the k-core and LPA verifiers)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for ok, pk in zip(
+        tbl["l_orderkey"].to_pylist(), tbl["l_partkey"].to_pylist()
+    ):
+        if ok % 20 == 0:
+            by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    return adj
+
+
+def verify_label_propagation() -> None:
+    """Re-run the capped sync LPA in plain Python (same min-label
+    tie-break, same 10-round cap, same stability stop) and require the
+    oracle rows to match exactly."""
+    from collections import Counter
+
+    adj = _cooccur_adj_mod20()
+    label = {v: v for v in adj}
+    for _ in range(10):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(label[n] for n in adj[v])
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if nxt == label:
+            break
+        label = nxt
+    want = sorted(label.items())
+    got = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duckdb.sql(
+            json.load(open(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "fixtures", "values_oracles.json")))["g_label_propagation"]
+        ).fetchall()
+    )
+    assert got == want, (
+        f"LPA mismatch: {len(got)} oracle vs {len(want)} python rows; "
+        f"first diff "
+        f"{next((p for p in zip(got, want) if p[0] != p[1]), None)}"
+    )
 
 
 def verify_k_core() -> None:

@@ -361,3 +361,65 @@ def test_prepare_training_set_contract(spark):
             assert r.token_offset == off, (r, off)
             assert r.shard_id == off // 50
             off += r.n_tokens
+
+
+# --------------------------------------------------------------------- LPA
+
+
+def _lpa_oracle(edges, max_iter=10):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    label = {v: v for v in adj}
+    for _ in range(max_iter):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(label[n] for n in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        if nxt == label:
+            break
+        label = nxt
+    return label
+
+
+def test_label_propagation_vs_python_oracle(spark):
+    import random
+
+    from nous_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    # two dense blobs + sparse bridge: LPA should find two communities
+    edges = []
+    for base in (0, 100):
+        for _ in range(80):
+            a, b = rng.randrange(20), rng.randrange(20)
+            edges.append((base + a, base + b))
+    edges.append((5, 105))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.label for r in label_propagation(e, max_iter=10).collect()}
+    assert got == _lpa_oracle(edges, max_iter=10)
+    # community structure: intra-blob labels dominated by one value each
+    blob0 = Counter(got[v] for v in got if v < 100)
+    blob1 = Counter(got[v] for v in got if v >= 100)
+    assert blob0.most_common(1)[0][1] >= 0.8 * sum(blob0.values())
+    assert blob1.most_common(1)[0][1] >= 0.8 * sum(blob1.values())
+
+
+def test_label_propagation_stability_stop(spark):
+    from nous_spark.operators.graph import label_propagation
+
+    # clique: everyone adopts label 0 within ~3 rounds, loop must stop
+    # early (a STAR by contrast oscillates under sync updates — covered
+    # by the parity test, where the capped loop still matches the
+    # python mirror exactly)
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    stats = {}
+    got = {r.id: r.label
+           for r in label_propagation(e, max_iter=10, stats=stats).collect()}
+    assert got == _lpa_oracle(edges, max_iter=10)
+    assert got == {v: 0 for v in range(5)}
+    assert stats["rounds"] < 10
