@@ -253,10 +253,14 @@ def test_chunking_properties(spark, texts, budget, overlap):
 
     chunk_documents (word windows): starts at 0, step = budget-overlap;
     chunk i repeats the last `overlap` words of chunk i-1 (when full).
-    chunk_documents_subword (model-token packing): chunks concatenate
-    back to the whitespace-normalized doc in order, each chunk's subword
-    cost stays under budget + cost(last word), and a chunk is only ever
-    under budget if it is the doc's final chunk."""
+    chunk_documents_subword (model-token packing): word i belongs to
+    chunk floor(cost_before_i / budget) — asserted EXACTLY against a
+    pure-Python mirror — chunks concatenate back to the
+    whitespace-normalized doc in order, and each chunk's subword cost
+    stays under budget + cost(last word). (A non-final chunk CAN sit
+    under budget when a straddling word consumed part of its window —
+    hypothesis found '1 1a 1 1' @ budget 2 — so the offset rule, not a
+    greedy-fullness claim, is the contract.)"""
     import re
 
     from nous_spark.operators.textstats import (
@@ -297,13 +301,16 @@ def test_chunking_properties(spark, texts, budget, overlap):
             continue
         # chunks re-concatenate to the normalized doc
         assert " ".join(r.chunk for r in rs) == " ".join(ws)
-        for j, r in enumerate(rs):
+        # exact offset-rule oracle: word i -> chunk floor(pre_i / budget)
+        want_assign = {}
+        pre = 0
+        for w in ws:
+            want_assign.setdefault(pre // budget, []).append(w)
+            pre += cost(w)
+        assert {r.chunk_id: r.chunk.split(" ") for r in rs} == want_assign
+        for r in rs:
             cw = r.chunk.split(" ")
             assert r.n_chunk_words == len(cw)
             assert r.n_chunk_subwords == sum(cost(w) for w in cw)
             # overshoot bounded by the straddling word's own cost
             assert r.n_chunk_subwords < budget + cost(cw[-1]) or len(cw) == 1
-            # only the final chunk may end under the budget line
-            if j < len(rs) - 1:
-                nxt = rs[j + 1].chunk.split(" ")[0]
-                assert r.n_chunk_subwords + cost(nxt) > budget
