@@ -63,8 +63,24 @@ def main() -> None:
         "dd_simhash_pairs",
         "g7_pic",
     ]
+    # round-6 additions: timed and recorded in their own group so the
+    # headline/extended walls stay comparable round-over-round
+    assembly = [
+        "ds_prepare_training_set",
+        "ds_split",
+        "ds_pack_shards",
+        "txt_tfidf_keywords",
+        "g_triangle_counts",
+        "g_adamic_adar",
+        "g_k_core",
+        "g_label_propagation",
+        "ev_session_stats",
+        "dd_embedding_pairs",
+        "dd_substring_spans",
+    ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
+    asm_timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
     # warm the JVM/Arrow paths once so timings measure the engine, not init
@@ -90,7 +106,7 @@ def main() -> None:
     par_per_query: dict[str, float] = {}
     for name, sink in [(n, timings) for n in headline] + [
         (n, ext_timings) for n in extended
-    ]:
+    ] + [(n, asm_timings) for n in assembly]:
         fn = queries[name]
         best, n = float("inf"), 0
         for _ in range(reps):
@@ -126,6 +142,8 @@ def main() -> None:
         "extract_docs_per_sec": extract_tput,
         "extended_queries": ext_timings,
         "extended_wall": round(sum(ext_timings.values()), 3),
+        "assembly_queries": asm_timings,
+        "assembly_wall": round(sum(asm_timings.values()), 3),
         "reps": reps,
         "agg": "min",
         "query_bw_probe_sec": bw_per_query,

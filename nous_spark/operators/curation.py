@@ -38,6 +38,7 @@ def clean_corpus(
     quality_weights: tuple[float, ...] | None = None,
     quality_bias: float | None = None,
     materialize: bool = True,
+    min_parallelism: int | str | None = "auto",
 ) -> DataFrame:
     """Return the KEPT documents (original columns) plus a ``keep_reason``
     trail of which filters passed; dropped docs are simply absent.
@@ -74,6 +75,20 @@ def clean_corpus(
     )
 
     base_cols = docs.columns
+    # the per-doc signal expressions are regex-heavy (ms per document);
+    # a small parquet input arrives as 1-2 scan partitions and would run
+    # them single-core (measured: 16 s single-partition vs ~1 s spread at
+    # sf0.1). Spread BELOW-parallelism inputs once, before the signal
+    # scan; a web-scale input already has >= cluster-parallelism
+    # partitions, so this is a no-op there and costs nothing
+    if min_parallelism == "auto":
+        min_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        # checkpoint, not just repartition: Catalyst pushes projections
+        # below a round-robin exchange, so a bare repartition still runs
+        # the signal expressions in the pre-shuffle single task (measured
+        # 19 s vs 3 s at sf0.1) — the barrier pins the spread
+        docs = docs.repartition(min_parallelism).localCheckpoint(eager=True)
     src = quality_scores(docs, text_col) if min_quality_prob is not None \
         else docs
     d = token_counts(

@@ -339,12 +339,23 @@ def simhash_near_duplicates(
 
 
 def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
-                            b_col: str = "b") -> DataFrame:
+                            b_col: str = "b",
+                            driver_edge_cap: int = 16_000_000) -> DataFrame:
     """Turn near-duplicate PAIRS into a keep/drop decision: transitive
     closure over the pair graph (near-dup is not transitive in general,
     but dedup policy must be — if a~b and b~c, keeping both a and c
-    leaves two near-copies of b in the corpus). Hash-to-min connected
-    components; keeper = min id per cluster.
+    leaves two near-copies of b in the corpus). Connected components;
+    keeper = min id per cluster.
+
+    The pair graph is SMALL relative to the corpus by construction
+    (every candidate generator is blocked), so up to ``driver_edge_cap``
+    pairs the components run as a driver-side union-find over one Arrow
+    collect — exact, one pass, none of the iterative star/star rounds'
+    fixed per-round shuffle cost (the same capped fast-path pattern as
+    PIC, parity-tested via ``driver_edge_cap=0``). Above the cap — a
+    pair set that big means the thresholds are wrong long before the
+    driver is — the distributed large-star/small-star loop takes over
+    unchanged.
 
     Returns (id, keeper_id) for every id that appears in a pair; rows
     with id != keeper_id form the drop list. Compose:
@@ -355,9 +366,38 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
     """
     from nous_spark.operators.graph import connected_components
 
-    comp = connected_components(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    )
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    if driver_edge_cap > 0:
+        e = e.persist()
+        if e.count() <= driver_edge_cap:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in e.collect():
+                u, v = row.src, row.dst
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN root so the representative is the
+                    # cluster minimum without a second pass
+                    lo, hi = min(ru, rv), max(ru, rv)
+                    parent[hi] = lo
+            rows = [(x, find(x)) for x in parent]
+            id_type = dict(e.dtypes)["src"]
+            out = e.sparkSession.createDataFrame(
+                rows, f"id {id_type}, keeper_id {id_type}"
+            )
+            e.unpersist()
+            return out
+    comp = connected_components(e)
     return comp.select("id", F.col("component").alias("keeper_id"))
 
 

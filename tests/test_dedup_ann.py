@@ -262,3 +262,28 @@ def test_duplicate_spans_short_docs_and_min_docs(spark):
     assert duplicate_spans(docs, k=13, min_docs=4).count() == 0
     got3 = duplicate_spans(docs, k=13, min_docs=3)
     assert {r.doc_id for r in got3.collect()} == {1, 2, 3}
+
+
+def test_near_dup_clusters_driver_path_parity(spark):
+    """The capped driver union-find must agree exactly with the
+    distributed star/star components (driver_edge_cap=0 forces the
+    distributed path on the same pairs)."""
+    import random
+
+    from nous_spark.operators.dedup import near_duplicate_clusters
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    fast = {(r.id, r.keeper_id)
+            for r in near_duplicate_clusters(df).collect()}
+    dist = {(r.id, r.keeper_id)
+            for r in near_duplicate_clusters(df, driver_edge_cap=0).collect()}
+    assert fast == dist
+    # keeper is the component minimum
+    comp = {}
+    for i, k in fast:
+        comp.setdefault(k, set()).add(i)
+    for k, members in comp.items():
+        assert k == min(members)
