@@ -486,6 +486,7 @@ def k_core(
     dst: str = "dst",
     max_iter: int = 50,
     stats: dict | None = None,
+    driver_edge_cap: int = 16_000_000,
 ) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     has degree ≥ k (undirected, simple). The standard noise filter
@@ -502,10 +503,38 @@ def k_core(
     the surviving subgraph, so total work is O(m · depth) worst case but
     ~O(m) on real degree distributions. Returns (id, core_degree) for
     surviving vertices; empty frame if the k-core is empty.
+
+    Up to ``driver_edge_cap`` canonical edges the peel runs driver-side
+    over one Arrow collect (exact, no per-round shuffle cost — the PIC
+    fast-path pattern, parity-tested via ``driver_edge_cap=0``); the
+    distributed loop takes over above the cap. ``stats["rounds"]`` is
+    reported by the distributed loop only (the driver peel is
+    round-free).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    if driver_edge_cap > 0 and cur.count() <= driver_edge_cap:
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for row in cur.collect():
+            adj[row.a].add(row.b)
+            adj[row.b].add(row.a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for n in adj[v]:
+                        adj[n].discard(v)
+                    del adj[v]
+                    changed = True
+        id_type = dict(cur.dtypes)["a"]
+        return cur.sparkSession.createDataFrame(
+            sorted((v, len(ns)) for v, ns in adj.items()),
+            f"id {id_type}, core_degree bigint",
+        )
     rounds = 0
     for rounds in range(1, max_iter + 1):
         deg = degrees(cur, "a", "b")
@@ -530,6 +559,7 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 10,
     stats: dict | None = None,
+    driver_edge_cap: int = 16_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007), made fully deterministic: every vertex starts with its own
@@ -545,8 +575,40 @@ def label_propagation(
     combinable, labels checkpointed per round (bounded lineage, same
     discipline as connected_components). Returns (id, label) where label
     is a community representative's vertex id.
+
+    Up to ``driver_edge_cap`` canonical edges the sync loop runs
+    driver-side over one Arrow collect — bit-identical updates (same
+    tie-break, same cap, same stability stop), none of the per-round
+    shuffle overhead; the distributed loop takes over above the cap
+    (parity-tested via ``driver_edge_cap=0``).
     """
     e = _canonical_edges(edges, src, dst)
+    if driver_edge_cap > 0:
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= driver_edge_cap:
+            from collections import Counter, defaultdict
+
+            adj = defaultdict(set)
+            for row in e.collect():
+                adj[row.a].add(row.b)
+                adj[row.b].add(row.a)
+            label = {v: v for v in adj}
+            rounds = 0
+            for rounds in range(1, max_iter + 1):
+                nxt = {}
+                for v in adj:
+                    cnt = Counter(label[n] for n in adj[v])
+                    nxt[v] = max(cnt.items(),
+                                 key=lambda kv: (kv[1], -kv[0]))[0]
+                if nxt == label:
+                    break
+                label = nxt
+            if stats is not None:
+                stats["rounds"] = rounds
+            id_type = dict(e.dtypes)["a"]
+            return e.sparkSession.createDataFrame(
+                sorted(label.items()), f"id {id_type}, label {id_type}"
+            )
     sym = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("u"), F.col("b").alias("v")) \

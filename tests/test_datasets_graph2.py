@@ -259,13 +259,16 @@ def test_k_core_peels_tail(spark):
 
 
 def test_k_core_cascade_rounds(spark):
-    # a chain peels one vertex per round from each end: stats sees > 1 round
+    # a chain peels one vertex per round from each end: stats sees > 1
+    # round on the DISTRIBUTED loop (the driver fast path is round-free,
+    # so force it off)
     edges = [(i, i + 1) for i in range(12)]
     e = spark.createDataFrame(edges, ["src", "dst"])
     stats = {}
-    out = k_core(e, 2, stats=stats).collect()
+    out = k_core(e, 2, stats=stats, driver_edge_cap=0).collect()
     assert out == []
     assert stats["rounds"] > 1
+    assert k_core(e, 2).collect() == []  # fast path agrees on emptiness
 
 
 # ------------------------------------------------------------- sessions
@@ -423,3 +426,25 @@ def test_label_propagation_stability_stop(spark):
     assert got == _lpa_oracle(edges, max_iter=10)
     assert got == {v: 0 for v in range(5)}
     assert stats["rounds"] < 10
+
+
+def test_graph_driver_fast_paths_parity(spark):
+    """k_core and label_propagation driver fast paths must agree exactly
+    with their distributed loops (forced via driver_edge_cap=0) on the
+    same random graph."""
+    import random
+
+    from nous_spark.operators.graph import k_core, label_propagation
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(200)})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 4):
+        fast = {(r.id, r.core_degree) for r in k_core(e, k).collect()}
+        dist = {(r.id, r.core_degree)
+                for r in k_core(e, k, driver_edge_cap=0).collect()}
+        assert fast == dist, k
+    fast = {(r.id, r.label) for r in label_propagation(e).collect()}
+    dist = {(r.id, r.label)
+            for r in label_propagation(e, driver_edge_cap=0).collect()}
+    assert fast == dist
