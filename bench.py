@@ -115,6 +115,17 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         sink[name] = round(best, 3)
+        # release this query's persisted/checkpointed blocks before the
+        # next one: several operators legitimately materialize shared
+        # subtrees (localCheckpoint/persist); left referenced, their
+        # storage blocks accumulate across 30+ queries and the eviction
+        # churn showed up as an 18x outlier on a later query (j6 at sf1,
+        # 17.6 s in-bench vs 1.3 s standalone)
+        import gc
+
+        df = None
+        spark.catalog.clearCache()
+        gc.collect()
         bw_per_query[name] = round(host_bandwidth_probe(), 4)
         par_per_query[name] = round(host_parallel_probe(), 4)
         print(f"# {name}: {n} rows in {best:.2f}s (best of {reps}, "
