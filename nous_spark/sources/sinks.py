@@ -87,3 +87,31 @@ def load_graph(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{root}/vertices"),
         spark.read.parquet(f"{root}/edges"),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    source_col: str = "source",
+) -> None:
+    """Materialize a packed training set (the output of
+    ``datasets.prepare_training_set`` / ``pack_into_shards``) as parquet
+    partitioned by (split, source): the loader reads one split by
+    partition pruning alone, and per-source mixture adjustments at load
+    time stay file-level operations.
+
+    The pre-write repartition on (split, source, shard_id) lines writer
+    tasks up with shards — each shard's rows land together instead of
+    being scattered across whichever tasks held them, so a data loader
+    streaming shard files in shard_id order sees contiguous token
+    streams. Same skew logic as ``write_triples``: the shard id is
+    already a balanced key (shards are token-budget-equal by
+    construction), so no extra salt is needed."""
+    (
+        packed.repartition(F.col("split"), F.col(source_col),
+                           F.col("shard_id"))
+        .write.mode(mode)
+        .partitionBy("split", source_col)
+        .parquet(path)
+    )
