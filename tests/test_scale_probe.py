@@ -175,3 +175,61 @@ def test_duplicate_span_rows_stay_linear(spark):
     cK = spans(amplified_documents(spark, SF, FACTOR))
     assert c1 > 0
     assert cK <= c1 * FACTOR * C, (c1, cK)
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """Degree-ordered orientation must keep wedge generation linear on a
+    hub graph: a 20k-leaf star generates ZERO oriented wedges at the hub
+    (every leaf points AT the hub — the highest-rank endpoint — so the
+    hub has no out-neighbors to pair), where the naive centered form
+    would enumerate deg^2/2 = 2*10^8 pairs. Pinned by replicating the
+    operator's own orientation and counting wedge rows, then by the
+    operator finishing with the exact (empty) triangle answer."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.graph import degrees, triangle_counts
+
+    hub = spark.range(1, 20_001).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    # replicate the orientation: rank = (degree, id)
+    e = hub.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    deg = degrees(e, "a", "b")
+    ra = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    rb = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    ed = e.join(ra, "a").join(rb, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    n_wedges = oriented.join(o2, "u").filter(F.col("v") < F.col("w")).count()
+    assert n_wedges == 0, n_wedges
+    out = triangle_counts(hub)
+    assert out.filter(F.col("n_triangles") > 0).count() == 0
+    assert out.count() == 20_001
+
+
+def test_adamic_adar_cap_bounds_hub_pairs(spark):
+    """max_neighbor_degree must bound common-neighbor pair generation:
+    a 20k-leaf hub yields deg^2/2 = 2*10^8 wedge pairs uncapped; with the
+    hub dropped as an intermediate the scored-pair count collapses to the
+    side structure only."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.graph import adamic_adar_scores
+
+    hub = spark.range(1, 20_001).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    side = spark.createDataFrame(
+        [(100_001, 100_002), (100_002, 100_003)], ["src", "dst"]
+    )
+    e = hub.unionByName(side)
+    out = adamic_adar_scores(e, max_neighbor_degree=1000)
+    rows = out.collect()
+    # only the side wedge survives: (100001, 100003) through 100002
+    assert {(r.x, r.y) for r in rows} == {(100_001, 100_003)}, rows
