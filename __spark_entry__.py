@@ -1640,6 +1640,24 @@ def _q_prepare_training_set(spark, sf):  # corpus -> shards, end to end
              "token_offset", "shard_id")
 
 
+def _q_corpus_diff(spark, sf):  # snapshot diff for dataset versioning
+    from nous_spark.operators.datasets import corpus_diff
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    # synthesize snapshot v2 deterministically: drop every 7th doc,
+    # append a token to every 5th, add 20 fresh ids (mirrored in SQL)
+    changed = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" v2-extra-token")),
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn("text", changed)
+    fresh = spark.range(20).select(
+        (F.col("id") + 900_000).alias("doc_id"),
+        F.concat(F.lit("fresh doc "), F.col("id").cast("string")).alias("text"),
+    )
+    return corpus_diff(docs, new.unionByName(fresh))
+
+
 def _q_label_propagation(spark, sf):  # LPA communities, capped sync loop
     from nous_spark.operators.graph import label_propagation
 
@@ -1787,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_prepare_training_set": _q_prepare_training_set,
         "str_session_stats": _q_str_session_stats,
         "g_label_propagation": _q_label_propagation,
+        "ds_corpus_diff": _q_corpus_diff,
     }
 
 
@@ -3191,6 +3210,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, split, n_pii, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM pk
+        """,
+        "ds_corpus_diff": """
+            WITH old AS (SELECT doc_id AS id, md5(text) AS old_hash
+                         FROM documents),
+            newer AS (
+                SELECT doc_id AS id,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN text || ' v2-extra-token'
+                                ELSE text END) AS new_hash
+                FROM documents WHERE doc_id % 7 != 0
+                UNION ALL
+                SELECT 900000 + i AS id,
+                       md5('fresh doc ' || CAST(i AS VARCHAR)) AS new_hash
+                FROM (SELECT unnest(range(0, 20)) AS i))
+            SELECT coalesce(o.id, n.id) AS id,
+                   CASE WHEN o.id IS NULL THEN 'added'
+                        WHEN n.id IS NULL THEN 'removed'
+                        WHEN o.old_hash != n.new_hash THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_hash, n.new_hash
+            FROM old o FULL OUTER JOIN newer n ON o.id = n.id
         """,
         "ev_sessionize": """
             WITH s AS (SELECT event_id, user_id, ts,

@@ -231,3 +231,37 @@ def prepare_training_set(
         id_col, source_col, "split", "masked", "n_pii", "n_tokens",
         "token_offset", "shard_id",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots for dataset versioning: every doc id is
+    labeled ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (both, content hash differs) or ``unchanged`` — the
+    audit table behind "what moved between v1 and v2 of the training
+    set" and the input to incremental re-processing (re-extract only
+    added+changed).
+
+    One full-outer join keyed on the id, comparing md5 content hashes —
+    document text never shuffles, so the diff of two 100 TB snapshots
+    moves only (id, 32-byte hash) pairs. Emits (id, status, old_hash,
+    new_hash).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"), "old_hash", "new_hash")

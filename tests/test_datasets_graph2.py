@@ -499,3 +499,16 @@ def test_split_and_mixture_compose_on_streams(spark, tmp_path):
         spark.createDataFrame(rows, ["doc_id", "text"]),
         {"train": 0.8, "val": 0.2}).collect()}
     assert got == want
+
+
+def test_corpus_diff_statuses(spark):
+    from nous_spark.operators.datasets import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r.id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
