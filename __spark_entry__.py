@@ -1385,7 +1385,8 @@ def _q_corpus_report(spark, sf):  # per-source corpus health report
 
     return corpus_report(_read(spark, sf, "documents")).select(
         "source", "n_docs", "n_chars_total", "mean_tokens",
-        "mean_top_bigram_frac", "pct_en", "dup_rate"
+        "p50_tokens", "p95_tokens", "mean_top_bigram_frac", "pct_en",
+        "dup_rate"
     )
 
 
@@ -2742,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*)::BIGINT AS n_docs,
                    sum(length(text))::BIGINT AS n_chars_total,
                    round(avg(n_tokens), 6) AS mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
                    round(avg(top_bigram_frac), 6) AS mean_top_bigram_frac,
                    round(avg(CASE WHEN lang_pred = 'en' THEN 1.0
                                   ELSE 0.0 END), 6) AS pct_en,

@@ -240,6 +240,15 @@ def corpus_report(
             F.count("*").alias("n_docs"),
             F.sum(F.length(text_col)).alias("n_chars_total"),
             F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            # exact interpolated percentiles (Spark percentile ==
+            # DuckDB quantile_cont; cross-checked) — the doc-length
+            # DISTRIBUTION catches truncation/boilerplate regressions
+            # a mean hides. Exact-with-sort per group; at extreme group
+            # sizes swap for percentile_approx and drop the oracle match
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 6)
+            .alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.95)), 6)
+            .alias("p95_tokens"),
             F.round(F.avg("top_bigram_frac"), 6).alias("mean_top_bigram_frac"),
             F.round(
                 F.avg(F.when(F.col("lang_pred") == "en", 1.0).otherwise(0.0)),
