@@ -215,6 +215,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
+    driver_edge_cap: int = 16_000_000,
 ) -> DataFrame:
     """G8: connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -239,6 +240,16 @@ def connected_components(
     between ~12 and ~20 000 shuffles. Works for numeric or string vertex
     ids (min = lexicographic for strings, matching F.min). Lineage is
     truncated every round via localCheckpoint so plans stay bounded.
+
+    Up to ``driver_edge_cap`` canonical edges, components run as a
+    driver-side union-find over one Arrow collect instead — exact,
+    min-root (so the representative is the component minimum for
+    numbers and strings alike), one pass, none of the per-round shuffle
+    + fixed-point-confirmation cost (the same capped fast-path pattern
+    as PIC and near_duplicate_clusters; parity-tested via
+    ``driver_edge_cap=0``). The distributed star/star loop serves
+    anything larger unchanged, and sets ``stats["rounds"]``; the driver
+    path sets ``stats["mode"] = "driver"`` instead.
     """
     # canonical orientation (a > b), self-loops dropped; vertex universe
     # is fixed from the input so star-rewiring can't lose isolated-after-
@@ -260,6 +271,42 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=True)
     )
+
+    if driver_edge_cap > 0 and cur.count() <= driver_edge_cap:
+        # vectorized hash-to-min over factorized vertex RANKS: sorting
+        # the vertex universe first makes "min rank" == "min id" (for
+        # longs and strings alike), so min-propagation + pointer
+        # doubling lands every vertex on its component's minimum id.
+        # All NumPy array passes — a per-edge python union-find loop
+        # measured 3 s + 2 s of find-compression at 1.5M edges
+        import numpy as np
+        import pandas as pd
+
+        pdf = cur.toPandas()
+        uniq = np.unique(
+            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+        )  # sorted vertex universe
+        ua = np.searchsorted(uniq, pdf["a"].to_numpy())
+        va = np.searchsorted(uniq, pdf["b"].to_numpy())
+        comp = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            prev = comp.copy()
+            np.minimum.at(comp, ua, comp[va])
+            np.minimum.at(comp, va, comp[ua])
+            while True:
+                c2 = comp[comp]
+                if np.array_equal(c2, comp):
+                    break
+                comp = c2
+            if np.array_equal(comp, prev):
+                break
+        if stats is not None:
+            stats["mode"] = "driver"
+        out_pdf = pd.DataFrame({"id": uniq, "component": uniq[comp]})
+        id_type = dict(cur.dtypes)["a"]
+        return cur.sparkSession.createDataFrame(
+            out_pdf, schema=f"id {id_type}, component {id_type}"
+        )
 
     # fixed-point detection: a cheap one-row signature scan per round
     # (count + overflow-safe decimal hash-sum — ANSI mode errors on LONG

@@ -34,7 +34,8 @@ def main() -> None:
         df = spark.createDataFrame(edges, ["src", "dst"])
         stats: dict = {}
         t0 = time.monotonic()
-        comp = connected_components(df, max_iter=40, stats=stats)
+        comp = connected_components(df, max_iter=40, stats=stats,
+                                    driver_edge_cap=0)
         rows = comp.collect()
         wall = round(time.monotonic() - t0, 2)
         n_comp = len({r.component for r in rows})

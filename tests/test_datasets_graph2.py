@@ -512,3 +512,30 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_connected_components_driver_path_parity(spark):
+    """CC driver union-find must agree exactly with the distributed
+    star/star loop, for long ids and for string ids."""
+    import random
+
+    from nous_spark.operators.graph import connected_components
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(300), rng.randrange(300))
+                  for _ in range(250)})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {(r.id, r.component)
+            for r in connected_components(e).collect()}
+    dist = {(r.id, r.component)
+            for r in connected_components(e, driver_edge_cap=0).collect()}
+    assert fast == dist
+
+    se = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges[:60]], ["src", "dst"]
+    )
+    fast_s = {(r.id, r.component)
+              for r in connected_components(se).collect()}
+    dist_s = {(r.id, r.component)
+              for r in connected_components(se, driver_edge_cap=0).collect()}
+    assert fast_s == dist_s

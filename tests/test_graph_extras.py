@@ -212,7 +212,8 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     edges = spark.createDataFrame(
         [(perm(i), perm(i + 1)) for i in range(n - 1)], ["src", "dst"])
     stats = {}
-    comp = connected_components(edges, max_iter=30, stats=stats)
+    comp = connected_components(edges, max_iter=30, stats=stats,
+                                driver_edge_cap=0)
     rows = comp.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}   # one component, min id 0

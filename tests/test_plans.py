@@ -120,7 +120,8 @@ def test_connected_components_log_rounds(spark):
         [(i, i + 1) for i in range(300)], ["src", "dst"]
     )
     comp = {r.id: r.component for r in
-            connected_components(edges, max_iter=12).collect()}
+            connected_components(
+                edges, max_iter=12, driver_edge_cap=0).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 301
 

@@ -42,7 +42,7 @@ def test_connected_components_matches_union_find(spark, edges):
     want_groups = sorted(sorted(g) for g in want.values())
 
     e = spark.createDataFrame(list(set(edges)), ["src", "dst"])
-    comp = connected_components(e)
+    comp = connected_components(e, driver_edge_cap=0)
     got = {}
     for r in comp.collect():
         got.setdefault(r.component, set()).add(r.id)
