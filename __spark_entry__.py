@@ -1641,6 +1641,15 @@ def _q_prepare_training_set(spark, sf):  # corpus -> shards, end to end
              "token_offset", "shard_id")
 
 
+def _q_funnel_counts(spark, sf):  # first-touch funnel over events
+    from nous_spark.operators.sessions import funnel_counts
+
+    e = _read(spark, sf, "events").select("user_id", "ts", "event_type")
+    return funnel_counts(
+        e, ["view", "click", "purchase"], max_gap_minutes=120
+    )
+
+
 def _q_corpus_diff(spark, sf):  # snapshot diff for dataset versioning
     from nous_spark.operators.datasets import corpus_diff
 
@@ -1807,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_session_stats": _q_str_session_stats,
         "g_label_propagation": _q_label_propagation,
         "ds_corpus_diff": _q_corpus_diff,
+        "ev_funnel_counts": _q_funnel_counts,
     }
 
 
@@ -3213,6 +3223,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, split, n_pii, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM pk
+        """,
+        "ev_funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+                        FROM events WHERE event_type = 'view'
+                        GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click'
+                     AND epoch_us(e.ts) > s1.t
+                     AND epoch_us(e.ts) - s1.t <= 7200000000
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > s2.t
+                     AND epoch_us(e.ts) - s2.t <= 7200000000
+                   GROUP BY e.user_id)
+            SELECT 1::BIGINT AS step, 'view' AS step_name,
+                   count(*)::BIGINT AS n_users FROM s1
+            UNION ALL
+            SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3
         """,
         "ds_corpus_diff": """
             WITH old AS (SELECT doc_id AS id, md5(text) AS old_hash

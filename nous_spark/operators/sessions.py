@@ -93,3 +93,67 @@ def session_stats(
     return s.groupBy(
         F.col(user_col), F.col("session_idx"), F.col("session_id")
     ).agg(*aggs)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_minutes: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: how many users complete each prefix of an
+    ordered event sequence (view -> click -> purchase), where step i+1
+    must occur strictly AFTER the user's step-i completion time and —
+    with ``max_gap_minutes`` — within that gap of it.
+
+    Semantics (the standard first-touch funnel): a user's step-1 time is
+    their EARLIEST step-1 event; step i+1 time is the earliest
+    qualifying event after step i. Earliest-qualifying is greedy-optimal
+    for the unwindowed funnel; with a gap cap it is the standard
+    first-touch attribution (a user who misses the window after their
+    first touch does not convert, by definition of first-touch).
+
+    Plan: one filtered min-aggregate per step (len(steps) small-constant
+    joins, each shuffling one (user, ts) pair per user — never raw
+    events), all map-side combinable. Returns (step, step_name, n_users)
+    with step 1-indexed.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(_micros(events, ts_col)).alias("__t"))
+    )
+    counts = [(1, steps[0], reached)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), _micros(events, ts_col).alias("__nt")
+        )
+        cond = [nxt[user_col] == reached[user_col],
+                F.col("__nt") > F.col("__t")]
+        if max_gap_minutes is not None:
+            cond.append(
+                F.col("__nt") - F.col("__t")
+                <= F.lit(int(max_gap_minutes) * 60 * 1_000_000)
+            )
+        reached = (
+            nxt.join(reached, cond[0] & cond[1]
+                     & (cond[2] if len(cond) > 2 else F.lit(True)))
+            .groupBy(nxt[user_col].alias(user_col))
+            .agg(F.min("__nt").alias("__t"))
+        )
+        counts.append((i, step, reached))
+    out = None
+    for i, name, df in counts:
+        # global aggregate, not a groupBy: a zero-conversion step must
+        # still emit its row with n_users = 0
+        c = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        out = c if out is None else out.unionByName(c)
+    return out

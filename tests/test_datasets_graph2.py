@@ -539,3 +539,39 @@ def test_connected_components_driver_path_parity(spark):
     dist_s = {(r.id, r.component)
               for r in connected_components(se, driver_edge_cap=0).collect()}
     assert fast_s == dist_s
+
+
+def test_funnel_counts_vs_python_oracle(spark):
+    import datetime as dt
+
+    from nous_spark.operators.sessions import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, minutes, typ):
+        return (uid, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # u1 full funnel inside the gaps
+        ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "purchase"),
+        # u2: click BEFORE view -> no conversion past step 1
+        ev(2, 10, "click"), ev(2, 20, "view"),
+        # u3: click after view but outside the 15-min gap
+        ev(3, 0, "view"), ev(3, 30, "click"),
+        # u4 first-touch miss: first view at 0, click at 40 (outside),
+        # even though a second view at 35 would have qualified it
+        ev(4, 0, "view"), ev(4, 35, "view"), ev(4, 40, "click"),
+        # u5 never views
+        ev(5, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {(r.step, r.step_name): r.n_users
+           for r in funnel_counts(
+               df, ["view", "click", "purchase"], max_gap_minutes=15
+           ).collect()}
+    assert got == {(1, "view"): 4, (2, "click"): 1, (3, "purchase"): 1}
+    # unwindowed: u3 and u4 convert to click too (no gap cap)
+    got2 = {(r.step, r.step_name): r.n_users
+            for r in funnel_counts(
+                df, ["view", "click", "purchase"]).collect()}
+    assert got2 == {(1, "view"): 4, (2, "click"): 3, (3, "purchase"): 1}
