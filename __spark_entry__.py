@@ -1650,6 +1650,14 @@ def _q_funnel_counts(spark, sf):  # first-touch funnel over events
     )
 
 
+def _q_retention_cohorts(spark, sf):  # weekly retention triangle
+    from nous_spark.operators.sessions import retention_cohorts
+
+    return retention_cohorts(
+        _read(spark, sf, "events").select("user_id", "ts")
+    )
+
+
 def _q_corpus_diff(spark, sf):  # snapshot diff for dataset versioning
     from nous_spark.operators.datasets import corpus_diff
 
@@ -1817,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_label_propagation": _q_label_propagation,
         "ds_corpus_diff": _q_corpus_diff,
         "ev_funnel_counts": _q_funnel_counts,
+        "ev_retention_cohorts": _q_retention_cohorts,
     }
 
 
@@ -3223,6 +3232,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, split, n_pii, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM pk
+        """,
+        "ev_retention_cohorts": """
+            WITH activity AS (SELECT DISTINCT user_id AS u,
+                    date_trunc('week', ts)::DATE AS w
+                FROM events),
+            first AS (SELECT u, min(w) AS cw FROM activity GROUP BY u)
+            SELECT f.cw AS cohort_week,
+                   (datediff('day', f.cw, a.w) / 7)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_active_users
+            FROM activity a JOIN first f ON a.u = f.u
+            GROUP BY f.cw, (datediff('day', f.cw, a.w) / 7)::BIGINT
         """,
         "ev_funnel_counts": """
             WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t

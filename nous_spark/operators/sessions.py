@@ -157,3 +157,37 @@ def funnel_counts(
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users are cohorted by the Monday-start
+    week of their FIRST event; for every later week in which a cohort
+    member is active, the cohort's (week_offset, n_active_users) cell
+    increments — the classic retention triangle behind "what fraction of
+    week-k signups are still active n weeks later".
+
+    Plan: distinct (user, week) activity (one shuffle of user-week
+    pairs, never raw events), a per-user min-week aggregate, one join,
+    one final count aggregate. ``week_offset`` is exact integer weeks
+    (datediff // 7 on Monday-truncated dates, so it is always whole).
+    Returns (cohort_week DATE, week_offset, n_active_users);
+    offset 0 is the cohort's own first week.
+    """
+    wk = F.date_trunc("week", F.col(ts_col).cast("timestamp")).cast("date")
+    activity = events.select(
+        F.col(user_col).alias("u"), wk.alias("w")
+    ).distinct()
+    first = activity.groupBy("u").agg(F.min("w").alias("cw"))
+    return (
+        activity.join(first, "u")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active_users"))
+    )

@@ -575,3 +575,28 @@ def test_funnel_counts_vs_python_oracle(spark):
             for r in funnel_counts(
                 df, ["view", "click", "purchase"]).collect()}
     assert got2 == {(1, "view"): 4, (2, "click"): 3, (3, "purchase"): 1}
+
+
+def test_retention_cohorts_vs_python_oracle(spark):
+    import datetime as dt
+
+    from nous_spark.operators.sessions import retention_cohorts
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+
+    def ev(uid, days):
+        return (uid, base + dt.timedelta(days=days))
+
+    rows = [
+        ev(1, 0), ev(1, 8), ev(1, 15),   # cohort wk0, active wk 0,1,2
+        ev(2, 1), ev(2, 16),             # cohort wk0, active wk 0,2
+        ev(3, 7), ev(3, 9),              # cohort wk1, active wk1 only
+        ev(4, 20),                       # cohort wk2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(str(r.cohort_week), r.week_offset): r.n_active_users
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1, ("2024-01-15", 0): 1,
+    }
