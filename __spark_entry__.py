@@ -1650,6 +1650,14 @@ def _q_funnel_counts(spark, sf):  # first-touch funnel over events
     )
 
 
+def _q_collocations(spark, sf):  # PMI collocation mining
+    from nous_spark.operators.textstats import collocations
+
+    return collocations(
+        _read(spark, sf, "documents").select("text"), min_count=5, k=40
+    )
+
+
 def _q_retention_cohorts(spark, sf):  # weekly retention triangle
     from nous_spark.operators.sessions import retention_cohorts
 
@@ -1826,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_corpus_diff": _q_corpus_diff,
         "ev_funnel_counts": _q_funnel_counts,
         "ev_retention_cohorts": _q_retention_cohorts,
+        "txt_collocations": _q_collocations,
     }
 
 
@@ -3232,6 +3241,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, split, n_pii, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM pk
+        """,
+        "txt_collocations": """
+            WITH t AS (SELECT list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> len(x) > 0) AS toks
+                FROM documents),
+            grams AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                          i -> struct_pack(w1 := toks[i+1],
+                                           w2 := toks[i+2]))) AS g
+                      FROM t WHERE len(toks) >= 2),
+            bi AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*)::BIGINT
+                     AS n_pair
+                   FROM grams GROUP BY g.w1, g.w2),
+            uni AS (SELECT unnest(toks) AS w FROM t),
+            uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w),
+            n1 AS (SELECT sum(c) AS n1 FROM uc),
+            n2 AS (SELECT count(*)::DOUBLE AS n2 FROM grams),
+            scored AS (SELECT bi.w1, bi.w2, bi.n_pair,
+                round(ln((bi.n_pair / n2.n2)
+                      / ((u1.c / n1.n1) * (u2.c / n1.n1))), 6) AS pmi
+              FROM bi
+              JOIN uc u1 ON bi.w1 = u1.w
+              JOIN uc u2 ON bi.w2 = u2.w
+              CROSS JOIN n1 CROSS JOIN n2
+              WHERE bi.n_pair >= 5),
+            ranked AS (SELECT *, row_number() OVER (
+                    ORDER BY pmi DESC, w1, w2) AS rank
+                FROM scored)
+            SELECT rank::BIGINT AS rank, w1, w2, n_pair, pmi
+            FROM ranked WHERE rank <= 40
         """,
         "ev_retention_cohorts": """
             WITH activity AS (SELECT DISTINCT user_id AS u,

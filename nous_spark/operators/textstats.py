@@ -489,3 +489,75 @@ def tfidf_keywords(
         .select(id_col, F.col("rank").cast("long").alias("rank"),
                 "term", F.col("tf").cast("long").alias("tf"), "score")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation extraction: adjacent word pairs ranked
+    by pointwise mutual information, pmi = ln(p(w1,w2) / (p(w1)p(w2)))
+    with p over unigram/bigram totals — the classic phrase-mining signal
+    ("new york" scores high, "of the" scores ~0) feeding tokenizer
+    merges and KG mention gazetteers.
+
+    Plan: one explode for bigram counts, one for unigram counts, totals
+    derived in-plan (1-row aggregates, broadcast cross-join — the lazy
+    idiom of unigram_logprob_scores), unigram table broadcast into the
+    join. ``min_count`` prunes the hapax tail BEFORE the join (PMI is
+    degenerate at count 1 anyway), which keeps the ranked candidate set
+    tiny next to the corpus; the final top-k sort runs on that pruned
+    set only. Ranking is (rounded pmi desc, w1, w2) — deterministic.
+    Returns (rank, w1, w2, n_pair, pmi).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    grams = base.select(
+        F.explode(
+            F.expr("transform(slice(__t, 1, size(__t) - 1), "
+                   "(x, i) -> struct(x as w1, __t[i + 1] as w2))")
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    uni = df.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    n_uni = uni.agg(F.sum("c").alias("n1"))
+    n_bi = grams.agg(F.count("*").cast("double").alias("n2"))
+    pairs = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n2"))
+                    / ((F.col("c1") / F.col("n1"))
+                       * (F.col("c2") / F.col("n1")))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), "w1", "w2",
+                F.col("n_pair").cast("long").alias("n_pair"), "pmi")
+    )

@@ -600,3 +600,40 @@ def test_retention_cohorts_vs_python_oracle(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
         ("2024-01-08", 0): 1, ("2024-01-15", 0): 1,
     }
+
+
+def test_collocations_vs_python_oracle(spark):
+    import math
+    import re
+
+    from nous_spark.operators.textstats import collocations
+
+    texts = [
+        "new york is far from san francisco",
+        "new york new york the city of new york",
+        "san francisco and new york share the fog of the bay",
+        "the the the of of new york",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [(r.rank, r.w1, r.w2, r.n_pair, r.pmi)
+           for r in collocations(df, min_count=2, k=5)
+           .orderBy("rank").collect()]
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    scored = [
+        (round(math.log((c / n2) / ((uni[a] / n1) * (uni[b] / n1))), 6),
+         a, b, c)
+        for (a, b), c in bi.items() if c >= 2
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = [(i + 1, a, b, c, p)
+            for i, (p, a, b, c) in enumerate(scored[:5])]
+    assert got == want, (got, want)
+    # sanity: 'new york' outranks 'of the'
+    pair_rank = {(w1, w2): r for r, w1, w2, _, _ in got}
+    assert pair_rank[("new", "york")] < pair_rank.get(("of", "the"), 99)
