@@ -1661,9 +1661,12 @@ def _q_collocations(spark, sf):  # PMI collocation mining
 def _q_retention_cohorts(spark, sf):  # weekly retention triangle
     from nous_spark.operators.sessions import retention_cohorts
 
+    # cohort_week as ISO string: pandas maps Spark DATE to datetime.date
+    # but DuckDB DATE to Timestamp, which falsely mismatches in
+    # string-compare harnesses
     return retention_cohorts(
         _read(spark, sf, "events").select("user_id", "ts")
-    )
+    ).withColumn("cohort_week", F.col("cohort_week").cast("string"))
 
 
 def _q_corpus_diff(spark, sf):  # snapshot diff for dataset versioning
@@ -3277,7 +3280,7 @@ def oracle_sql() -> dict[str, str]:
                     date_trunc('week', ts)::DATE AS w
                 FROM events),
             first AS (SELECT u, min(w) AS cw FROM activity GROUP BY u)
-            SELECT f.cw AS cohort_week,
+            SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
                    (datediff('day', f.cw, a.w) / 7)::BIGINT AS week_offset,
                    count(*)::BIGINT AS n_active_users
             FROM activity a JOIN first f ON a.u = f.u
