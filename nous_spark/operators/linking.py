@@ -369,10 +369,16 @@ def semantic_relatedness_pairs(
     for entity pairs a < b with |A∩B| > 0 and sr > 0 (same guards as the
     per-doc solve in ``_solve_doc``).
 
-    nbrs(entity_id, nbr_label) → (e1, e2, relatedness)."""
+    nbrs(entity_id, nbr_label) → (e1, e2, relatedness).
+
+    The deduplicated index feeds three join arms (both self-join sides +
+    the size aggregate), so it is materialized once — same audit finding
+    as context_scores; output volume (common-neighbor pairs) remains the
+    honest cost driver."""
     import math
 
-    n = nbrs.select("entity_id", "nbr_label").distinct()
+    n = nbrs.select("entity_id", "nbr_label").distinct() \
+        .localCheckpoint(eager=True)
     sizes = n.groupBy("entity_id").agg(F.count("*").alias("sz"))
     common = (
         n.alias("x")
