@@ -314,3 +314,44 @@ def test_chunking_properties(spark, texts, budget, overlap):
             assert r.n_chunk_subwords == sum(cost(w) for w in cw)
             # overshoot bounded by the straddling word's own cost
             assert r.n_chunk_subwords < budget + cost(cw[-1]) or len(cw) == 1
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 3),            # user
+              st.integers(0, 10_000),       # offset seconds
+              st.integers(0, 999_999)),     # microseconds
+    min_size=1, max_size=40))
+def test_sessionize_matches_python_oracle(spark, events):
+    """Gap-based sessionization vs a literal python gaps-and-islands on
+    random microsecond-grain event streams (duplicate timestamps
+    included — tied events must land in the same session)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from nous_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s, microseconds=us))
+        for i, (u, s, us) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    gap_min = 10
+    got = {r.event_id: (r.user_id, r.session_idx)
+           for r in sessionize(df, gap_minutes=gap_min).collect()}
+
+    per_user = defaultdict(list)
+    for i, u, t in rows:
+        per_user[u].append((t, i))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        idx, prev = -1, None
+        for t, i in evs:
+            if prev is None or (t - prev).total_seconds() > gap_min * 60:
+                idx += 1
+            want[i] = (u, idx)
+            prev = t
+    assert got == want
