@@ -77,6 +77,10 @@ def main() -> None:
         "ev_session_stats",
         "dd_embedding_pairs",
         "dd_substring_spans",
+        "ev_funnel_counts",
+        "ev_retention_cohorts",
+        "txt_collocations",
+        "ds_corpus_diff",
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
