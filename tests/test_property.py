@@ -355,3 +355,52 @@ def test_sessionize_matches_python_oracle(spark, events):
             want[i] = (u, idx)
             prev = t
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 4),                      # user
+              st.integers(0, 500),                    # minutes
+              st.sampled_from(["a", "b", "c", "x"])),  # event type
+    min_size=1, max_size=40))
+def test_funnel_matches_python_oracle(spark, events):
+    """First-touch funnel vs a literal sequential mirror: step times are
+    the earliest qualifying events, gap-capped."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from nous_spark.operators.sessions import funnel_counts
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [(u, base + dt.timedelta(minutes=m, seconds=i % 7), t)
+            for i, (u, m, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps, gap_min = ["a", "b", "c"], 60
+    got = {(r.step, r.step_name): r.n_users
+           for r in funnel_counts(df, steps, max_gap_minutes=gap_min)
+           .collect()}
+
+    per_user = defaultdict(list)
+    for u, t, typ in rows:
+        per_user[u].append((t, typ))
+    counts = {i + 1: 0 for i in range(len(steps))}
+    for u, evs in per_user.items():
+        evs.sort()
+        reached_t = None
+        for si, step in enumerate(steps, start=1):
+            cand = [
+                t for t, typ in evs
+                if typ == step and (
+                    si == 1 or (
+                        t > reached_t
+                        and (t - reached_t).total_seconds() <= gap_min * 60
+                    )
+                )
+            ]
+            if not cand:
+                break
+            reached_t = min(cand)
+            counts[si] += 1
+    want = {(i, steps[i - 1]): counts[i] for i in counts}
+    assert got == want
