@@ -147,6 +147,11 @@ def main() -> None:
         "host_bw_probe_sec": host_bandwidth_probe(),
         "host_par_probe_sec": host_parallel_probe(),
     }
+    # The driver tails stdout and parses the LAST line as JSON, so the
+    # stdout line must stay compact (round-6 lesson: the 35-entry probe
+    # dicts overflowed the driver's tail buffer and round 6 recorded
+    # "parsed": null). Everything bulky — per-query extended/assembly
+    # timings and the per-query tenancy probes — goes to a side file.
     out = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -155,16 +160,28 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "extract_docs_per_sec": extract_tput,
-        "extended_queries": ext_timings,
         "extended_wall": round(sum(ext_timings.values()), 3),
-        "assembly_queries": asm_timings,
         "assembly_wall": round(sum(asm_timings.values()), 3),
         "reps": reps,
         "agg": "min",
-        "query_bw_probe_sec": bw_per_query,
-        "query_par_probe_sec": par_per_query,
         **probes,
     }
+    side = {
+        "extended_queries": ext_timings,
+        "assembly_queries": asm_timings,
+        "query_bw_probe_sec": bw_per_query,
+        "query_par_probe_sec": par_per_query,
+        "headline": out,
+    }
+    side_path = os.environ.get(
+        "NOUS_BENCH_PROBES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_probes.json"),
+    )
+    with open(side_path, "w") as fh:
+        json.dump(side, fh, indent=1, sort_keys=True)
+    print(f"# per-query probes + group timings -> {side_path}",
+          file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -129,20 +129,29 @@ def funnel_counts(
     )
     counts = [(1, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=2):
+        # rename both join inputs' key columns up front: nxt and reached
+        # share `events` as lineage, so a raw nxt[user] == reached[user]
+        # can resolve to the SAME attribute and degrade to a cross join
+        # with a trivially-true predicate (Spark warns; at scale it
+        # would be a catastrophe, not a warning)
         nxt = events.filter(F.col(type_col) == step).select(
-            F.col(user_col), _micros(events, ts_col).alias("__nt")
+            F.col(user_col).alias("__nu"),
+            _micros(events, ts_col).alias("__nt"),
         )
-        cond = [nxt[user_col] == reached[user_col],
-                F.col("__nt") > F.col("__t")]
+        prev = reached.select(
+            F.col(user_col).alias("__ru"), F.col("__t")
+        )
+        cond = (F.col("__nu") == F.col("__ru")) & (
+            F.col("__nt") > F.col("__t")
+        )
         if max_gap_minutes is not None:
-            cond.append(
+            cond = cond & (
                 F.col("__nt") - F.col("__t")
                 <= F.lit(int(max_gap_minutes) * 60 * 1_000_000)
             )
         reached = (
-            nxt.join(reached, cond[0] & cond[1]
-                     & (cond[2] if len(cond) > 2 else F.lit(True)))
-            .groupBy(nxt[user_col].alias(user_col))
+            nxt.join(prev, cond)
+            .groupBy(F.col("__nu").alias(user_col))
             .agg(F.min("__nt").alias("__t"))
         )
         counts.append((i, step, reached))

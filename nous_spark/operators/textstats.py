@@ -496,6 +496,7 @@ def collocations(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 50,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Corpus-level collocation extraction: adjacent word pairs ranked
     by pointwise mutual information, pmi = ln(p(w1,w2) / (p(w1)p(w2)))
@@ -506,14 +507,18 @@ def collocations(
     Plan: one explode for bigram counts, one for unigram counts, totals
     derived in-plan (1-row aggregates, broadcast cross-join — the lazy
     idiom of unigram_logprob_scores), unigram table broadcast into the
-    join. ``min_count`` prunes the hapax tail BEFORE the join (PMI is
-    degenerate at count 1 anyway), which keeps the ranked candidate set
-    tiny next to the corpus; the final top-k sort runs on that pruned
-    set only. Ranking is (rounded pmi desc, w1, w2) — deterministic.
-    Returns (rank, w1, w2, n_pair, pmi).
+    join (pass ``broadcast_vocab=False`` when the unigram vocabulary is
+    too large to broadcast — the join then shuffles on the word and AQE
+    picks the strategy). ``min_count`` prunes the hapax tail BEFORE the
+    join (PMI is degenerate at count 1 anyway), which keeps the ranked
+    candidate set tiny next to the corpus. The top-k itself is
+    ``orderBy(...).limit(k)`` — TakeOrderedAndProject, i.e. a per-
+    partition partial top-k merged on the driver, NOT a global sort or
+    a single-partition window — followed by a rank assignment done as
+    one k-row collect_list/array_sort/posexplode aggregate, so no
+    WindowExec ever sees more than ``k`` rows. Ranking is (rounded pmi
+    desc, w1, w2) — deterministic. Returns (rank, w1, w2, n_pair, pmi).
     """
-    from pyspark.sql.window import Window
-
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda x: F.length(x) > 0,
@@ -537,9 +542,11 @@ def collocations(
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     scored = (
-        pairs.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .withColumn(
@@ -554,10 +561,33 @@ def collocations(
             ),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    # distributed top-k: TakeOrderedAndProject (each partition keeps k,
+    # driver merges) — the candidate set never funnels through one task
+    topk = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+    # rank the surviving <=k rows without a WindowExec: pack into one
+    # sorted array (struct sort is lexicographic; -pmi gives desc) and
+    # posexplode — the aggregate only ever sees k rows
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("pmi")).alias("o"),
+                    F.col("w1").alias("w1"),
+                    F.col("w2").alias("w2"),
+                    F.col("n_pair").alias("n_pair"),
+                    F.col("pmi").alias("pmi"),
+                )
+            )
+        ).alias("t")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("rank").cast("long").alias("rank"), "w1", "w2",
-                F.col("n_pair").cast("long").alias("n_pair"), "pmi")
+        packed.select(F.posexplode("t").alias("i", "r"))
+        .select(
+            (F.col("i") + 1).cast("long").alias("rank"),
+            "r.w1", "r.w2",
+            F.col("r.n_pair").cast("long").alias("n_pair"),
+            "r.pmi",
+        )
     )

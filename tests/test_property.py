@@ -362,11 +362,13 @@ def test_sessionize_matches_python_oracle(spark, events):
 @given(st.lists(
     st.tuples(st.integers(0, 4),                      # user
               st.integers(0, 500),                    # minutes
-              st.sampled_from(["a", "b", "c", "x"])),  # event type
-    min_size=1, max_size=40))
+              st.sampled_from(["a", "b", "c", "d", "x"])),  # event type
+    min_size=1, max_size=48))
 def test_funnel_matches_python_oracle(spark, events):
-    """First-touch funnel vs a literal sequential mirror: step times are
-    the earliest qualifying events, gap-capped."""
+    """First-touch funnel (4 steps) vs a literal sequential mirror: step
+    times are the earliest qualifying events, gap-capped. Input rows are
+    deliberately scrambled out of timestamp order (interleaved users,
+    reversed arrival) — the funnel must be order-insensitive."""
     import datetime as dt
     from collections import defaultdict
 
@@ -375,8 +377,12 @@ def test_funnel_matches_python_oracle(spark, events):
     base = dt.datetime(2024, 5, 1)
     rows = [(u, base + dt.timedelta(minutes=m, seconds=i % 7), t)
             for i, (u, m, t) in enumerate(events)]
-    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
-    steps, gap_min = ["a", "b", "c"], 60
+    # scramble arrival order relative to event time: reversed odd
+    # positions then reversed even positions — every row exactly once,
+    # no prefix of the input is time-sorted
+    scrambled = rows[::-2] + rows[-2::-2]
+    df = spark.createDataFrame(scrambled, ["user_id", "ts", "event_type"])
+    steps, gap_min = ["a", "b", "c", "d"], 60
     got = {(r.step, r.step_name): r.n_users
            for r in funnel_counts(df, steps, max_gap_minutes=gap_min)
            .collect()}
