@@ -88,8 +88,13 @@ def lsh_signatures(
     (dot > 0); summation ORDER differs (sequential vs pairwise), which
     can only flip a bucket bit for |dot| at float-ulp scale — the
     regenerated VALUES oracles pin the shipped default end to end.
+
+    Rows with a NULL embedding produce no signature rows (they are
+    filtered before the projection in both impls — a null vector has no
+    meaningful bucket, and one bad row must not fail the batch).
     """
     planes = _projection_planes(dim, n_bits, n_tables, seed)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     if impl == "pandas":
         from pyspark.sql.types import ArrayType, LongType
 
@@ -102,6 +107,10 @@ def lsh_signatures(
 
         @F.pandas_udf(ArrayType(LongType()))
         def _buckets(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                # Arrow can hand the UDF an empty batch (e.g. a
+                # filtered-out partition) — np.stack([]) raises
+                return pd.Series([], dtype=object)
             m = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
             signs = (m @ pmat) > 0                           # (n, nt*nb)
             per_table = signs.reshape(len(m), nt, -1)        # (n, nt, nb)

@@ -77,11 +77,13 @@ def lsh_candidate_pairs(
     The join key is (band, band_hash) — skew-safe because identical
     signatures collapse; output deduplicated (a, b) with a < b.
 
-    The banded frame is persisted before the self-join: each join side
-    otherwise re-executes the signature aggregate (the num_hashes
-    running-minima pass — the expensive half of the pipeline) so the
-    cache halves signature work; it is also what makes the caller's
-    shingle persist effective across both sides."""
+    The banded frame is materialized (localCheckpoint) before the
+    self-join: each join side otherwise re-executes the signature
+    aggregate (the num_hashes running-minima pass — the expensive half
+    of the pipeline) so the one-time cut halves signature work; unlike
+    persist(), the checkpoint blocks are released automatically once
+    the consumer plan is garbage-collected, so repeated calls in a
+    long-lived session don't accumulate storage blocks."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -101,7 +103,7 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ])
         ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash").persist()
+    ).select("id", "bh.band", "bh.band_hash").localCheckpoint(eager=True)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -127,7 +129,7 @@ def minhash_near_duplicates(
 
     ``sh`` feeds three consumers (signatures + both verify sides) — persist
     it once so the shingling scan isn't recomputed per consumer."""
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
     sh_a = sh.select(F.col("id").alias("a"), F.col("shingle_hashes").alias("sh_a"))
@@ -156,7 +158,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup with shingle-prefix blocking: docs
     sharing any of their ``block_grams`` smallest shingle hashes become
     candidates (prefix filtering), then exact Jaccard on survivors."""
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     blocked = sh.select(
         "id",
         F.explode(F.slice(F.array_sort("shingle_hashes"), 1, block_grams)).alias("blk"),
@@ -215,7 +217,7 @@ def srp_candidate_pairs(
     # persist: each self-join side would otherwise re-run the
     # n_bits*n_tables hyperplane dot products over every vector
     sig = lsh_signatures(df, dim, n_bits, n_tables, id_col=id_col,
-                         vec_col=vec_col).persist()
+                         vec_col=vec_col).localCheckpoint(eager=True)
     l = sig.alias("l")
     r = sig.alias("r")
     return (
@@ -308,7 +310,7 @@ def simhash_near_duplicates(
     """Banded SimHash matching: split the 64-bit hash into ``bands`` chunks;
     pairs agreeing on any chunk are candidates (pigeonhole guarantees recall
     for hamming ≤ bands-1), verified by exact popcount."""
-    sh = simhash(df, text_col, id_col).persist()
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     width = 64 // bands
     banded = sh.select(
         "id", "simhash",
@@ -368,7 +370,10 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
 
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     if driver_edge_cap > 0:
-        e = e.persist()
+        # localCheckpoint, not persist: blocks are released when the
+        # returned plan is GC'd, on BOTH branches (the old persist()
+        # leaked on the distributed branch)
+        e = e.localCheckpoint(eager=True)
         if e.count() <= driver_edge_cap:
             parent: dict = {}
 
@@ -380,8 +385,8 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in e.collect():
-                u, v = row.src, row.dst
+            pdf = e.toPandas()
+            for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)
@@ -392,11 +397,9 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
                     parent[hi] = lo
             rows = [(x, find(x)) for x in parent]
             id_type = dict(e.dtypes)["src"]
-            out = e.sparkSession.createDataFrame(
+            return e.sparkSession.createDataFrame(
                 rows, f"id {id_type}, keeper_id {id_type}"
             )
-            e.unpersist()
-            return out
     comp = connected_components(e)
     return comp.select("id", F.col("component").alias("keeper_id"))
 

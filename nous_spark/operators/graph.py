@@ -565,9 +565,12 @@ def k_core(
         from collections import defaultdict
 
         adj = defaultdict(set)
-        for row in cur.collect():
-            adj[row.a].add(row.b)
-            adj[row.b].add(row.a)
+        # one Arrow collect (columnar, no per-row Row objects — at the
+        # 16M-edge cap a plain collect() is multiple GB of Python Rows)
+        pdf = cur.toPandas()
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            adj[a].add(b)
+            adj[b].add(a)
         changed = True
         while changed:
             changed = False
@@ -577,24 +580,42 @@ def k_core(
                         adj[n].discard(v)
                     del adj[v]
                     changed = True
+        if stats is not None:
+            stats["converged"] = True
         id_type = dict(cur.dtypes)["a"]
         return cur.sparkSession.createDataFrame(
             sorted((v, len(ns)) for v, ns in adj.items()),
             f"id {id_type}, core_degree bigint",
         )
-    rounds = 0
+    rounds, converged = 0, False
     for rounds in range(1, max_iter + 1):
         deg = degrees(cur, "a", "b")
         # short-circuit convergence probe: any vertex below k?
         if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+            converged = True
             break
         keep = deg.filter(F.col("degree") >= k).select("id")
         kv = keep.select(F.col("id").alias("__kv"))
         nxt = cur.join(kv, cur.a == F.col("__kv"), "left_semi")
         nxt = nxt.join(kv, nxt.b == F.col("__kv"), "left_semi")
         cur = nxt.localCheckpoint(eager=True)
+    if not converged:
+        # peel depth is unbounded (a path graph sheds only its endpoints
+        # per round), so an exhausted loop can still hold sub-k vertices;
+        # returning them silently would hand callers a non-k-core
+        converged = (
+            degrees(cur, "a", "b")
+            .filter(F.col("degree") < k).limit(1).count() == 0
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge in max_iter={max_iter} rounds: "
+            f"vertices with degree < {k} remain (the peel is truncated, "
+            "not a k-core) — raise max_iter"
+        )
     return degrees(cur, "a", "b").select(
         "id", F.col("degree").cast("long").alias("core_degree")
     )
@@ -636,17 +657,21 @@ def label_propagation(
             from collections import Counter, defaultdict
 
             adj = defaultdict(set)
-            for row in e.collect():
-                adj[row.a].add(row.b)
-                adj[row.b].add(row.a)
+            pdf = e.toPandas()
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                adj[a].add(b)
+                adj[b].add(a)
             label = {v: v for v in adj}
             rounds = 0
             for rounds in range(1, max_iter + 1):
                 nxt = {}
                 for v in adj:
                     cnt = Counter(label[n] for n in adj[v])
-                    nxt[v] = max(cnt.items(),
-                                 key=lambda kv: (kv[1], -kv[0]))[0]
+                    # max count, then smallest label — expressed as a
+                    # min over (-count, label) so the tie-break never
+                    # negates the label (string vertex ids work)
+                    mc = max(cnt.values())
+                    nxt[v] = min(lb for lb, c in cnt.items() if c == mc)
                 if nxt == label:
                     break
                 label = nxt
@@ -669,11 +694,14 @@ def label_propagation(
             labels.select(F.col("id").alias("v"), "label"), "v"
         ).select(F.col("u").alias("id"), "label")
         counted = nbr.groupBy("id", "label").agg(F.count("*").alias("c"))
-        # argmax: max count, then smallest label (negate inside struct)
+        # argmax: max count, then smallest label. Negate the COUNT (a
+        # bigint, always safe) rather than the label, so string vertex
+        # ids get the same lexicographic-min tie-break as longs — a
+        # min over struct(-c, label) is exactly (count desc, label asc)
         nxt = counted.groupBy("id").agg(
-            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label")))
             .alias("m")
-        ).select("id", (-F.col("m.nl")).alias("label")) \
+        ).select("id", F.col("m.label").alias("label")) \
             .localCheckpoint(eager=True)
         changed = (
             labels.join(nxt.withColumnRenamed("label", "nl"), "id")

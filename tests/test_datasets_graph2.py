@@ -380,8 +380,9 @@ def _lpa_oracle(edges, max_iter=10):
         nxt = {}
         for v in adj:
             cnt = Counter(label[n] for n in adj[v])
-            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
-            nxt[v] = best[0]
+            # max count, smallest label — type-agnostic (string ids too)
+            mc = max(cnt.values())
+            nxt[v] = min(lb for lb, c in cnt.items() if c == mc)
         if nxt == label:
             break
         label = nxt
@@ -409,6 +410,42 @@ def test_label_propagation_vs_python_oracle(spark):
     blob1 = Counter(got[v] for v in got if v >= 100)
     assert blob0.most_common(1)[0][1] >= 0.8 * sum(blob0.values())
     assert blob1.most_common(1)[0][1] >= 0.8 * sum(blob1.values())
+
+
+def test_label_propagation_string_ids(spark):
+    """String vertex ids must work on BOTH paths — CC and k_core accept
+    them, and the tie-break is (count desc, label asc) lexicographic."""
+    from nous_spark.operators.graph import label_propagation
+
+    edges = [("ant", "bee"), ("bee", "cat"), ("ant", "cat"),
+             ("dog", "elk"), ("elk", "fox"), ("dog", "fox"),
+             ("cat", "dog")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    want = _lpa_oracle(edges, max_iter=10)
+    got_drv = {r.id: r.label
+               for r in label_propagation(e, max_iter=10).collect()}
+    got_dist = {r.id: r.label
+                for r in label_propagation(
+                    e, max_iter=10, driver_edge_cap=0).collect()}
+    assert got_drv == want
+    assert got_dist == want
+
+
+def test_k_core_raises_on_truncated_peel(spark):
+    """An exhausted distributed peel must not silently return sub-k
+    vertices: a 12-chain sheds only its endpoints per round, so
+    max_iter=2 cannot finish — the call must raise and flag stats."""
+    import pytest
+
+    from nous_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    stats = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(e, 2, max_iter=2, stats=stats, driver_edge_cap=0)
+    assert stats["converged"] is False
+    assert stats["rounds"] == 2
 
 
 def test_label_propagation_stability_stop(spark):

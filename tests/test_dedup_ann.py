@@ -287,3 +287,38 @@ def test_near_dup_clusters_driver_path_parity(spark):
         comp.setdefault(k, set()).add(i)
     for k, members in comp.items():
         assert k == min(members)
+
+
+def test_lsh_signatures_null_embeddings(spark):
+    """A null embedding must not fail the batch (np.stack over a series
+    containing None raises) — null rows are filtered, both impls agree."""
+    import random
+
+    from nous_spark.operators.ann import lsh_signatures
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(6)]
+    rows.append((6, None))
+    rows.append((7, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_p = lsh_signatures(df, dim=8, n_bits=4, n_tables=2,
+                           impl="pandas").collect()
+    got_e = lsh_signatures(df, dim=8, n_bits=4, n_tables=2,
+                           impl="expr").collect()
+    ids = {r.vec_id for r in got_p}
+    assert ids == set(range(6))  # null rows dropped, not bucketed
+    key = lambda r: (r.vec_id, r.table)
+    assert sorted(((r.vec_id, r.table, r.bucket) for r in got_p)) == \
+        sorted(((r.vec_id, r.table, r.bucket) for r in got_e))
+
+
+def test_lsh_signatures_all_null_partition(spark):
+    """A partition whose every row is filtered hands the UDF an empty
+    Arrow batch — must return empty, not raise."""
+    from nous_spark.operators.ann import lsh_signatures
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    assert lsh_signatures(df, dim=8, n_bits=4, n_tables=2,
+                          impl="pandas").count() == 0
