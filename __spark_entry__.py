@@ -1145,6 +1145,85 @@ def _q_str_session_stats(spark, sf):  # §2.9 stateful session windows
     )
 
 
+def _q_str_funnel_counts(spark, sf):  # §2.9 stateful streaming funnel
+    import os
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_funnel_counts
+
+    # two time-split microbatches fed IN EVENT-TIME ORDER (mtimes set
+    # explicitly — the file source orders by modification time, and two
+    # sub-second appends can collide): funnels STRADDLING the cut must
+    # advance through the per-user state store across the batch boundary
+    e = _read(spark, sf, "events").select("user_id", "ts", "event_type")
+    hi = e.agg(F.max("ts").alias("m")).collect()[0].m
+    cut = F.lit(hi) - F.expr("INTERVAL 15 DAYS")
+    src = tempfile.mkdtemp(prefix="strfun_src_")
+    for i, b in enumerate([e.filter(F.col("ts") < cut),
+                           e.filter(F.col("ts") >= cut)]):
+        d = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet", (1_000_000 + i,
+                                                     1_000_000 + i))
+    name = "gate_strfunnel"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_funnel_counts(
+            stream, ["view", "click", "purchase"], max_gap_minutes=120)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id", "step", "step_name", "step_ts_us"
+    )
+
+
+def _q_str_corpus_report(spark, sf):  # §2.9 complete-mode health report
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_corpus_report
+
+    # two id-split microbatches; complete mode re-emits the full
+    # per-source table each trigger, so the memory sink's final state is
+    # the whole-corpus report (aggregation is order-insensitive — no
+    # mtime choreography needed)
+    d = _read(spark, sf, "documents").select("doc_id", "text", "source")
+    src = tempfile.mkdtemp(prefix="strrep_src_")
+    for b in (d.filter(F.col("doc_id") % 2 == 0),
+              d.filter(F.col("doc_id") % 2 == 1)):
+        b.coalesce(1).write.mode("append").parquet(src)
+    name = "gate_strreport"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream
+        .schema("doc_id BIGINT, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_corpus_report(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "source", "n_docs", "n_chars_total", "mean_tokens",
+        "mean_top_bigram_frac", "pct_en"
+    )
+
+
 def _q_neighbor_labels(spark, sf):  # A12 one-hop neighbor label sets
     from nous_spark.operators.graph import neighbor_labels
 
@@ -1583,7 +1662,13 @@ def _q_triangle_counts(spark, sf):  # per-vertex triangles, oriented join
 def _q_adamic_adar(spark, sf):  # common-neighbor link suggestion scores
     from nous_spark.operators.graph import adamic_adar_scores
 
-    return adamic_adar_scores(_cooccur_edges(spark, sf, 20))
+    # the PRODUCTION configuration (VERDICT r6 #7): hub-capped
+    # intermediates + per-vertex top-k — both BINDING at this scale
+    # (max degree 30, so cap 12 drops real wedges; top 5 truncates) so
+    # the oracle covers the capped path users run at 100 TB
+    return adamic_adar_scores(
+        _cooccur_edges(spark, sf, 20), max_neighbor_degree=12, top_k=5
+    )
 
 
 def _q_k_core(spark, sf):  # 6-core of the co-occurrence graph
@@ -1714,27 +1799,24 @@ def _q_session_stats(spark, sf):  # per-session rollup
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness evaluates the
-    # registry in order and verifies the first 50. Round-6 rotation (per
-    # VERDICT r5 #1): the flagship kg_extract_triples and the round-4/5
-    # training-data gates (corpus_clean, dd_contamination, dd_ngram_pairs,
-    # ann_ivf_query, str_exact_dedup, txt_mask_pii, txt_unigram_logprob,
-    # dd_near_dup_clusters, str_watermark_counts) move INTO the top 50 so
-    # the driver's hard signal covers them; ten trivial scan/filter gates
-    # (f1, f2, txt_token_count, s10, s12, f12, j11, w3, a13, s5) rotate
-    # just past the cap — still oracled, still verified every round by
-    # scripts/gate_check.py, and their operators retain golden/pytest
-    # coverage. Rows-only entries (genuinely non-SQL ops) stay last.
+    # registry in order and verifies the first 50. Round-7 rotation (per
+    # VERDICT r6 #3): 18 never-driver-sampled gates — the full round-6
+    # training-set-assembly family (ds_*), graph analytics
+    # (g_triangle_counts/g_adamic_adar/g_k_core/g_label_propagation),
+    # event analytics (ev_*), txt_collocations, dd_substring_spans,
+    # txt_model_quality, and the two round-6 streaming twins
+    # (str_near_dup_drop, str_session_stats) — move INTO the top 50.
+    # Swapped just past the cap: trivial scan/agg hold-overs driver-
+    # verified in r6 or earlier (s7, n6, w2, a10, j1, j7, j9, f10, s8,
+    # s9, a3, a11, g9, f8_dice, j2, and the mm_* trio — driver-verified
+    # twice). Everything demoted stays oracled and is verified every
+    # round by scripts/gate_check.py; operator coverage is retained by
+    # golden/pytest tests. Rows-only entries (genuinely non-SQL ops)
+    # stay last.
     return {
         "kg_extract_triples": _q_extract_triples,
-        "s7_lang_histogram": _q_lang_histogram,
         "corpus_clean": _q_corpus_clean,
-        "n6_purge_longest": _q_purge_longest,
-        "w2_topk_per_group": _q_topk_per_group,
-        "a10_degree": _q_degree,
         "a1_mis_support": _q_mis_support,
-        "j1_agg_join": _q_agg_join,
-        "j7_semi_join": _q_semi_join,
-        "j9_anti_join": _q_anti_join,
         "dd_embedding_pairs": _q_embedding_near_dups,
         "dd_contamination": _q_contamination,
         "dd_minhash_pairs": _q_minhash_pairs,
@@ -1745,39 +1827,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "txt_language_id": _q_language_id,
         "txt_fingerprint_stats": _q_fingerprint_stats,
-        "f10_token_jaccard": _q_token_jaccard,
         "g8_connected_components": _q_connected_components,
         "g3_path_search": _q_path_search,
         "j10_dictionary_encode": _q_dictionary_encode,
-        "a11_edge_label_multiset": _q_edge_label_multiset,
         "a6_two_edge_signatures": _q_two_edge_signatures,
-        "a3_window_support": _q_a3_window_support,
         "g6_pagerank": _q_pagerank,
         "dd_near_dup_clusters": _q_near_dup_clusters,
-        "j2_candidate_pairs": _q_j2_candidate_pairs,
         "j6_grow_patterns": _q_j6_grow_patterns,
-        "f8_dice_sim": _q_f8_dice_sim,
         "a7_popularity": _q_a7_popularity,
         "a8_context_score": _q_a8_context_score,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "ann_ivf_query": _q_ann_ivf_query,
         "j3_neighborhoods": _q_j3_neighborhoods,
         "str_exact_dedup": _q_str_exact_dedup,
-        "s8_triples_reader": _q_s8_triples_reader,
-        "s9_quad_reader": _q_s9_quad_reader,
         "txt_mask_pii": _q_mask_pii,
         "txt_unigram_logprob": _q_unigram_logprob,
         "str_watermark_counts": _q_str_watermark_counts,
-        "g9_sample_v1": _q_g9_sample_v1,
         "str_stateful_window": _q_str_stateful_window,
         "g7_pic": _q_g7_pic,
         "lp_bpr_metrics": _q_lp_bpr_metrics,
+        # ---- round-7 promotions: never driver-sampled before ----
+        "ds_split": _q_split_dataset,
+        "ds_pack_shards": _q_pack_shards,
+        "ds_mixture_sample": _q_mixture_sample,
+        "ds_prepare_training_set": _q_prepare_training_set,
+        "ds_corpus_diff": _q_corpus_diff,
+        "g_triangle_counts": _q_triangle_counts,
+        "g_adamic_adar": _q_adamic_adar,
+        "g_k_core": _q_k_core,
+        "g_label_propagation": _q_label_propagation,
+        "ev_sessionize": _q_sessionize,
+        "ev_session_stats": _q_session_stats,
+        "ev_funnel_counts": _q_funnel_counts,
+        "ev_retention_cohorts": _q_retention_cohorts,
+        "txt_collocations": _q_collocations,
+        "dd_substring_spans": _q_substring_spans,
+        "txt_model_quality": _q_model_quality,
+        "str_near_dup_drop": _q_str_near_dup_drop,
+        "str_session_stats": _q_str_session_stats,
+        # ---- past the driver's 50-key cap from here. First the round-7
+        # demotions (all still oracled + run by scripts/gate_check.py;
+        # operator coverage retained by golden/pytest tests) ----
+        "s7_lang_histogram": _q_lang_histogram,
+        "n6_purge_longest": _q_purge_longest,
+        "w2_topk_per_group": _q_topk_per_group,
+        "a10_degree": _q_degree,
+        "j1_agg_join": _q_agg_join,
+        "j7_semi_join": _q_semi_join,
+        "j9_anti_join": _q_anti_join,
+        "f10_token_jaccard": _q_token_jaccard,
+        "s8_triples_reader": _q_s8_triples_reader,
+        "s9_quad_reader": _q_s9_quad_reader,
+        "a3_window_support": _q_a3_window_support,
+        "a11_edge_label_multiset": _q_edge_label_multiset,
+        "g9_sample_v1": _q_g9_sample_v1,
+        "f8_dice_sim": _q_f8_dice_sim,
+        "j2_candidate_pairs": _q_j2_candidate_pairs,
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_video_stats": _q_mm_video_stats,
-        # ---- past the driver's 50-key cap from here. First the round-6
-        # demotions (all still oracled + run by scripts/gate_check.py;
-        # operator coverage retained by golden/pytest tests) ----
+        # ---- round-6 demotions ----
         "f1_valid_lines": _q_valid_lines,
         "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
@@ -1816,29 +1925,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_neighbor_labels": _q_neighbor_labels,
         "g2_subgraph": _q_subgraph,
         "w6_weight_bins": _q_weight_bins,
-        # ---- round-6 additions ----
-        "dd_substring_spans": _q_substring_spans,
+        # ---- remaining round-6 additions (promoted peers are in the
+        # top 50 above) ----
         "txt_chunks_subword": _q_chunk_documents_subword,
-        "txt_model_quality": _q_model_quality,
-        "str_near_dup_drop": _q_str_near_dup_drop,
-        # ---- round-6 batch 2: training-set assembly + graph analytics ----
-        "ds_split": _q_split_dataset,
-        "ds_pack_shards": _q_pack_shards,
-        "ds_mixture_sample": _q_mixture_sample,
         "txt_tfidf_keywords": _q_tfidf_keywords,
-        "g_triangle_counts": _q_triangle_counts,
-        "g_adamic_adar": _q_adamic_adar,
-        "g_k_core": _q_k_core,
-        "ev_sessionize": _q_sessionize,
-        "ev_session_stats": _q_session_stats,
-        "ds_prepare_training_set": _q_prepare_training_set,
-        "str_session_stats": _q_str_session_stats,
-        "g_label_propagation": _q_label_propagation,
-        "ds_corpus_diff": _q_corpus_diff,
-        "ev_funnel_counts": _q_funnel_counts,
-        "ev_retention_cohorts": _q_retention_cohorts,
-        "txt_collocations": _q_collocations,
+        # ---- round-7 additions: streaming twins of the last two
+        # batch-only analytics with bounded state (VERDICT r6 #6) ----
+        "str_funnel_counts": _q_str_funnel_counts,
+        "str_corpus_report": _q_str_corpus_report,
     }
+
+
+_CORPUS_FEAT_CTE = """
+            WITH lt AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM documents),
+            ls AS (SELECT doc_id,
+              len(list_filter(ltoks, x -> list_contains(
+                ['the','and','of','to','is','was','with'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(
+                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(
+                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(
+                ['el','la','los','las','es','con','por'], x))) AS s_es
+              FROM lt),
+            lang AS (SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM ls),
+            rt AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS grams
+              FROM rt),
+            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            feat AS (SELECT d.source, d.text, lang.lang_pred,
+                CASE WHEN length(trim(d.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                END AS n_tokens,
+                CASE WHEN len(g.grams) > 0
+                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM documents d
+              JOIN lang USING (doc_id) JOIN g USING (doc_id)
+              LEFT JOIN m USING (doc_id))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2725,52 +2869,8 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[start+1:start+16])::BIGINT AS n_chunk_tokens
             FROM s
         """,
-        "corpus_report": """
-            WITH lt AS (SELECT doc_id,
-                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
-              FROM documents),
-            ls AS (SELECT doc_id,
-              len(list_filter(ltoks, x -> list_contains(
-                ['the','and','of','to','is','was','with'], x))) AS s_en,
-              len(list_filter(ltoks, x -> list_contains(
-                ['der','die','und','das','ist','mit','von'], x))) AS s_de,
-              len(list_filter(ltoks, x -> list_contains(
-                ['le','la','et','les','des','est','avec'], x))) AS s_fr,
-              len(list_filter(ltoks, x -> list_contains(
-                ['el','la','los','las','es','con','por'], x))) AS s_es
-              FROM lt),
-            lang AS (SELECT doc_id,
-              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                   ELSE 'es' END AS lang_pred
-              FROM ls),
-            rt AS (SELECT doc_id,
-                list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                            x -> len(x) > 0) AS toks
-              FROM documents),
-            g AS (SELECT doc_id,
-                CASE WHEN len(toks) >= 2
-                     THEN list_transform(range(len(toks) - 1),
-                          i -> toks[i+1] || ' ' || toks[i+2])
-                     ELSE []::VARCHAR[] END AS grams
-              FROM rt),
-            m AS (SELECT doc_id, max(c) AS mode_cnt FROM (
-                SELECT doc_id, gram, count(*) AS c
-                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
-                GROUP BY doc_id, gram)
-              GROUP BY doc_id),
-            feat AS (SELECT d.source, d.text, lang.lang_pred,
-                CASE WHEN length(trim(d.text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
-                END AS n_tokens,
-                CASE WHEN len(g.grams) > 0
-                     THEN round(m.mode_cnt / len(g.grams)::DOUBLE, 6)
-                     ELSE 0.0 END AS top_bigram_frac
-              FROM documents d
-              JOIN lang USING (doc_id) JOIN g USING (doc_id)
-              LEFT JOIN m USING (doc_id))
+        "corpus_report": f"""
+            {_CORPUS_FEAT_CTE}
             SELECT source, count(*)::BIGINT AS n_docs,
                    sum(length(text))::BIGINT AS n_chars_total,
                    round(avg(n_tokens), 6) AS mean_tokens,
@@ -2781,6 +2881,19 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0.0 END), 6) AS pct_en,
                    round(1.0 - count(DISTINCT md5(text))
                              / count(*)::DOUBLE, 6) AS dup_rate
+            FROM feat GROUP BY source
+        """,
+        # streaming complete-mode twin: the SAME per-doc feature CTE,
+        # only the algebraic aggregates (no dup_rate / percentiles --
+        # those are batch-only, their streaming state is unbounded)
+        "str_corpus_report": f"""
+            {_CORPUS_FEAT_CTE}
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS n_chars_total,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(avg(top_bigram_frac), 6) AS mean_top_bigram_frac,
+                   round(avg(CASE WHEN lang_pred = 'en' THEN 1.0
+                                  ELSE 0.0 END), 6) AS pct_en
             FROM feat GROUP BY source
         """,
         "txt_mask_pii": """
@@ -3113,10 +3226,16 @@ def oracle_sql() -> dict[str, str]:
             ag AS (SELECT x, y, count(*)::BIGINT AS n_common,
                           round(sum(1.0 / ln(d.wd)), 6) AS score
                    FROM wedge p JOIN deg d ON p.w = d.w
+                   WHERE d.wd <= 12
                    GROUP BY x, y)
-            SELECT ag.x, ag.y, ag.n_common, ag.score
-            FROM ag LEFT JOIN e ON ag.x = e.a AND ag.y = e.b
-            WHERE e.a IS NULL
+            SELECT x, y, n_common, score FROM (
+              SELECT ag.x, ag.y, ag.n_common, ag.score,
+                     row_number() OVER (PARTITION BY ag.x
+                                        ORDER BY ag.score DESC, ag.y ASC)
+                       AS rn
+              FROM ag LEFT JOIN e ON ag.x = e.a AND ag.y = e.b
+              WHERE e.a IS NULL)
+            WHERE rn <= 5
         """,
         "ds_prepare_training_set": """
             WITH src AS (SELECT doc_id, source,
@@ -3285,6 +3404,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_active_users
             FROM activity a JOIN first f ON a.u = f.u
             GROUP BY f.cw, (datediff('day', f.cw, a.w) / 7)::BIGINT
+        """,
+        # streaming per-user funnel transitions: the same first-touch CTE
+        # chain, emitting each user's per-step earliest-qualifying time
+        # (the stream is fed in event-time order, so transitions match
+        # the batch semantics exactly)
+        "str_funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+                        FROM events WHERE event_type = 'view'
+                        GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click'
+                     AND epoch_us(e.ts) > s1.t
+                     AND epoch_us(e.ts) - s1.t <= 7200000000
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > s2.t
+                     AND epoch_us(e.ts) - s2.t <= 7200000000
+                   GROUP BY e.user_id)
+            SELECT user_id, 1::BIGINT AS step, 'view' AS step_name,
+                   t AS step_ts_us FROM s1
+            UNION ALL
+            SELECT user_id, 2::BIGINT, 'click', t FROM s2
+            UNION ALL
+            SELECT user_id, 3::BIGINT, 'purchase', t FROM s3
         """,
         "ev_funnel_counts": """
             WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t

@@ -355,3 +355,134 @@ def streaming_session_stats(
             "sum_value",
         )
     )
+
+
+def streaming_corpus_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of operators/curation.py::corpus_report for
+    COMPLETE output mode: per-source volume and quality-signal means
+    over a document stream — the always-current curation dashboard.
+
+    Only the ALGEBRAIC aggregates are kept — ``n_docs``,
+    ``n_chars_total``, ``mean_tokens``, ``mean_top_bigram_frac``,
+    ``pct_en`` — each a constant-size running (sum, count) pair per
+    group in the state store, so state is O(#sources) for the life of
+    the stream. The batch report's exact ``dup_rate`` and token
+    PERCENTILES stay batch-only on purpose: both need per-distinct-value
+    state (the set of content hashes / the full length distribution),
+    which grows with the corpus, not with the group count — unbounded
+    streaming state. The per-document signal pass is the same
+    stateless column pipeline the batch report uses (one scan, no
+    joins), so batch and stream agree signal-for-signal.
+
+    Works identically on a static frame (tests/oracles) and a
+    readStream frame (complete-mode dashboard).
+    """
+    from nous_spark.operators.textstats import (
+        language_id,
+        repetition_scores,
+        token_counts,
+    )
+
+    d = token_counts(
+        repetition_scores(language_id(docs, text_col), text_col), text_col
+    )
+    return d.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars_total"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("mean_top_bigram_frac"),
+        F.round(
+            F.avg(F.when(F.col("lang_pred") == "en", 1.0).otherwise(0.0)),
+            6,
+        ).alias("pct_en"),
+    )
+
+
+def streaming_funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_minutes: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming first-touch funnel (twin of sessions.py::funnel_counts):
+    emits one row per (user, step) ADVANCEMENT — ``(user, step,
+    step_name, step_ts_us)`` — as a user's event stream reaches each
+    successive funnel step. Per-step conversion counts are a downstream
+    count of the emitted transitions.
+
+    State per user is exactly two scalars (current step index + that
+    step's event time) via ``applyInPandasWithState`` in append mode —
+    bounded by the user population, independent of event volume, the
+    same state the batch funnel carries per user inside its aggregates.
+
+    Semantics match the batch operator (earliest qualifying event per
+    step, strictly increasing times, optional first-touch gap cap)
+    EXACTLY when events arrive in event-time order across microbatches;
+    each microbatch is sorted internally, and a late cross-batch
+    straggler advances the funnel on arrival — first-touch attribution
+    over what the stream has seen so far, the standard streaming
+    relaxation (an already-passed step is never reopened).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    import pandas as pd
+
+    gap_us = (int(max_gap_minutes) * 60 * 1_000_000
+              if max_gap_minutes is not None else None)
+    n_steps = len(steps)
+    step_names = list(steps)
+
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(type_col).alias("etype"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            step, step_ts = state.get
+        else:
+            step, step_ts = 0, 0
+        evs = []
+        for pdf in pdfs:
+            evs.extend(zip(pdf["ts_us"].tolist(), pdf["etype"].tolist()))
+        evs.sort()
+        out_steps, out_ts = [], []
+        for ts_us, etype in evs:
+            if step >= n_steps:
+                break
+            if etype != step_names[step]:
+                continue
+            if step > 0:
+                if ts_us <= step_ts:
+                    continue
+                if gap_us is not None and ts_us - step_ts > gap_us:
+                    continue
+            step += 1
+            step_ts = ts_us
+            out_steps.append(step)
+            out_ts.append(ts_us)
+        state.update((step, step_ts))
+        if out_steps:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(out_steps),
+                "step": out_steps,
+                "step_name": [step_names[s - 1] for s in out_steps],
+                "step_ts_us": out_ts,
+            })
+
+    id_type = dict(prepared.dtypes)["user_id"]
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(f"user_id {id_type}, step long, "
+                          "step_name string, step_ts_us long"),
+        stateStructType="step long, step_ts long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

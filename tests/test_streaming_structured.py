@@ -304,3 +304,94 @@ def test_session_window_matches_batch_sessionize(spark):
         for r in session_stats(df).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Two time-split microbatches fed in event-time order: per-step
+    counts of the emitted transitions must equal the batch funnel,
+    including a conversion that STRADDLES the batch boundary (state
+    store carries step index + time across microbatches)."""
+    import datetime as dt
+    import os
+
+    from nous_spark.operators.sessions import funnel_counts
+    from nous_spark.streaming.structured import streaming_funnel_counts
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ev(u, minutes, typ):
+        return (u, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # u1 converts fully, click lands in batch 2 (straddle)
+        ev(1, 0, "view"), ev(1, 50, "click"), ev(1, 70, "purchase"),
+        # u2 views then clicks too late (gap 60 exceeded)
+        ev(2, 0, "view"), ev(2, 100, "click"),
+        # u3 clicks before viewing — step order must gate it
+        ev(3, 0, "click"), ev(3, 10, "view"), ev(3, 20, "click"),
+        # u4 never starts
+        ev(4, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps, gap = ["view", "click", "purchase"], 60
+
+    cut = t0 + dt.timedelta(minutes=45)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyspark.sql.functions as F
+    for i, b in enumerate([df.filter(F.col("ts") < cut),
+                           df.filter(F.col("ts") >= cut)]):
+        d = str(tmp_path / f"b{i}")
+        b.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src}/batch{i}.parquet")
+        os.utime(f"{src}/batch{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+
+    stream = spark.readStream.schema(
+        "user_id LONG, ts TIMESTAMP, event_type STRING"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_funnel_counts(stream, steps, max_gap_minutes=gap)
+        .writeStream.format("memory").queryName("t_strfunnel")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_strfunnel").collect()
+
+    # per-user transitions are exactly the batch first-touch times
+    trans = {(r.user_id, r.step): r.step_ts_us for r in got}
+    us = lambda minutes: int((t0 + dt.timedelta(minutes=minutes)
+                              - dt.datetime(1970, 1, 1)).total_seconds()
+                             * 1_000_000)
+    assert trans == {
+        (1, 1): us(0), (1, 2): us(50), (1, 3): us(70),
+        (2, 1): us(0),
+        (3, 1): us(10), (3, 2): us(20),
+    }
+    # and the per-step counts equal the batch operator's
+    batch = {r.step: r.n_users
+             for r in funnel_counts(df, steps, max_gap_minutes=gap).collect()}
+    from collections import Counter
+    stream_counts = Counter(r.step for r in got)
+    assert {s: stream_counts.get(s, 0) for s in batch} == batch
+
+
+def test_streaming_corpus_report_matches_batch_subset(spark):
+    """On a static frame the complete-mode report must equal the batch
+    corpus_report's algebraic columns exactly (same signal pass)."""
+    from nous_spark.operators.curation import corpus_report
+    from nous_spark.streaming.structured import streaming_corpus_report
+
+    rows = [
+        (1, "the cat and the dog and the cat", "web"),
+        (2, "der hund ist mit der katze und", "web"),
+        (3, "completely unique english text with the and of", "book"),
+        (4, "", "book"),
+        (5, "the the the the the the", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    cols = ["source", "n_docs", "n_chars_total", "mean_tokens",
+            "mean_top_bigram_frac", "pct_en"]
+    got = {tuple(r) for r in streaming_corpus_report(df).select(*cols).collect()}
+    want = {tuple(r) for r in corpus_report(df).select(*cols).collect()}
+    assert got == want
