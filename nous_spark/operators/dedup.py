@@ -357,7 +357,7 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
     PIC, parity-tested via ``driver_edge_cap=0``). Above the cap — a
     pair set that big means the thresholds are wrong long before the
     driver is — the distributed large-star/small-star loop takes over
-    unchanged.
+    unchanged. At the 16M-edge default the Arrow collect plus Python-dict working set is roughly 2-4 GiB of driver heap/RSS (two longs per edge in Arrow, then dict/set entries per vertex) — size ``spark.driver.memory`` accordingly or lower the cap.
 
     Returns (id, keeper_id) for every id that appears in a pair; rows
     with id != keeper_id form the drop list. Compose:

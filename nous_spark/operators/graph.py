@@ -249,7 +249,7 @@ def connected_components(
     as PIC and near_duplicate_clusters; parity-tested via
     ``driver_edge_cap=0``). The distributed star/star loop serves
     anything larger unchanged, and sets ``stats["rounds"]``; the driver
-    path sets ``stats["mode"] = "driver"`` instead.
+    path sets ``stats["mode"] = "driver"`` instead. At the 16M-edge default the Arrow collect plus Python-dict working set is roughly 2-4 GiB of driver heap/RSS (two longs per edge in Arrow, then dict/set entries per vertex) — size ``spark.driver.memory`` accordingly or lower the cap.
     """
     # canonical orientation (a > b), self-loops dropped; vertex universe
     # is fixed from the input so star-rewiring can't lose isolated-after-
@@ -556,7 +556,7 @@ def k_core(
     fast-path pattern, parity-tested via ``driver_edge_cap=0``); the
     distributed loop takes over above the cap. ``stats["rounds"]`` is
     reported by the distributed loop only (the driver peel is
-    round-free).
+    round-free). At the 16M-edge default the Arrow collect plus Python-dict working set is roughly 2-4 GiB of driver heap/RSS (two longs per edge in Arrow, then dict/set entries per vertex) — size ``spark.driver.memory`` accordingly or lower the cap.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -648,7 +648,7 @@ def label_propagation(
     driver-side over one Arrow collect — bit-identical updates (same
     tie-break, same cap, same stability stop), none of the per-round
     shuffle overhead; the distributed loop takes over above the cap
-    (parity-tested via ``driver_edge_cap=0``).
+    (parity-tested via ``driver_edge_cap=0``). At the 16M-edge default the Arrow collect plus Python-dict working set is roughly 2-4 GiB of driver heap/RSS (two longs per edge in Arrow, then dict/set entries per vertex) — size ``spark.driver.memory`` accordingly or lower the cap.
     """
     e = _canonical_edges(edges, src, dst)
     if driver_edge_cap > 0:
