@@ -94,7 +94,9 @@ def lsh_signatures(
     meaningful bucket, and one bad row must not fail the batch).
     """
     planes = _projection_planes(dim, n_bits, n_tables, seed)
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    from nous_spark.operators.dedup import _spread
+
+    vectors = _spread(vectors.filter(F.col(vec_col).isNotNull()))
     if impl == "pandas":
         from pyspark.sql.types import ArrayType, LongType
 

@@ -14,6 +14,29 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
+def _spread(df: DataFrame, min_parallelism: int | str = "auto") -> DataFrame:
+    """Spread a below-parallelism input before expression-heavy per-doc
+    work (shingling is ~ms per document): a small parquet input arrives
+    as 1-2 scan partitions and would hash single-core (measured: the
+    whole minhash chain ran in ONE task at sf0.1 — 4.4 s of a 5 s
+    pipeline). A web-scale input already has >= cluster-parallelism scan
+    partitions, so this is a no-op there. The checkpoint barrier pins
+    the spread — Catalyst pushes projections below a bare round-robin
+    exchange (same measured rationale as curation.clean_corpus); the
+    trigger condition bounds what is materialized (fewer partitions
+    than cores => a few scan splits at most).
+
+    Streaming frames pass through untouched: partitioning there is the
+    source's trigger batching, and ``.rdd`` is illegal on them anyway."""
+    if df.isStreaming:
+        return df
+    if min_parallelism == "auto":
+        min_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        return df.repartition(min_parallelism).localCheckpoint(eager=True)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -35,6 +58,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     transform() lambda inlines the token-hash expression per gram index
     (Catalyst doesn't CSE across lambda scopes), turning O(tokens·n) into
     O(tokens²)."""
+    df = _spread(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
@@ -274,6 +298,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ONE aggregate pass carries all ``bits`` running sign-sums in an array
     accumulator (the per-bit-aggregate form scanned the token array 64
     times per row — same anti-pattern the minhash signatures had)."""
+    df = _spread(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # 2^b as signed-long literals (bit 63 wraps to the sign bit) — shift
     # builtins take only literal shift amounts, masks work per-element
@@ -490,7 +515,8 @@ def duplicate_spans(
         F.split(F.trim(F.col(text_col)), r"\s+"),
         lambda x: F.length(x) > 0,
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    base = _spread(df).select(F.col(id_col).alias("id"),
+                              toks.alias("__toks"))
     n = F.size("__toks")
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
