@@ -1630,6 +1630,37 @@ def _q_mixture_sample(spark, sf):  # source rebalancing toward 50/30/20
     )
 
 
+_TOKMIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+_TOKMIX_BUDGET = 4_000  # binds the feasibility cap at sf0.01, the
+#                         requested budget at sf0.1 — both solver paths
+#                         get driver coverage across the two scales
+
+
+def _q_token_budget_plan(spark, sf):  # token-budget mixing plan
+    from nous_spark.operators.datasets import token_budget_plan
+    from nous_spark.operators.textstats import token_counts
+
+    docs = token_counts(_read(spark, sf, "documents")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    return token_budget_plan(docs, _TOKMIX_SHARES, _TOKMIX_BUDGET).select(
+        "source", "available_tokens", "target_share_ppm", "target_tokens",
+        "accept_ppm", F.col("binding").cast("long").alias("binding"),
+    )
+
+
+def _q_sample_token_budget(spark, sf):  # apply the token-budget plan
+    from nous_spark.operators.datasets import sample_token_budget
+    from nous_spark.operators.textstats import token_counts
+
+    docs = token_counts(_read(spark, sf, "documents")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    return sample_token_budget(
+        docs, _TOKMIX_SHARES, _TOKMIX_BUDGET, salt="tokmix-v1"
+    ).select("doc_id", "source", "n_tokens")
+
+
 def _q_tfidf_keywords(spark, sf):  # per-doc top-3 TF-IDF keywords
     from nous_spark.operators.textstats import tfidf_keywords
 
@@ -1933,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-only analytics with bounded state (VERDICT r6 #6) ----
         "str_funnel_counts": _q_str_funnel_counts,
         "str_corpus_report": _q_str_corpus_report,
+        "ds_token_budget": _q_token_budget_plan,
+        "ds_sample_token_budget": _q_sample_token_budget,
     }
 
 
@@ -3154,6 +3187,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM c
+        """,
+        "ds_token_budget": """
+            WITH d AS (SELECT doc_id, source,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END)::BIGINT AS n_tokens
+              FROM documents),
+            shares(source, share) AS (VALUES
+                ('src0', 500000), ('src1', 300000), ('src2', 200000)),
+            inv AS (SELECT d.source,
+                           sum(n_tokens)::BIGINT AS available_tokens,
+                           s.share::BIGINT AS target_share_ppm,
+                           (sum(n_tokens)::BIGINT * 1000000
+                              // s.share)::BIGINT AS b_cap
+                    FROM d JOIN shares s ON d.source = s.source
+                    GROUP BY d.source, s.share),
+            b AS (SELECT least(min(b_cap), 4000)::BIGINT AS b FROM inv)
+            SELECT source, available_tokens, target_share_ppm,
+                   (b.b * target_share_ppm // 1000000)::BIGINT
+                     AS target_tokens,
+                   least((b.b * target_share_ppm // 1000000) * 1000000
+                           // available_tokens, 1000000)::BIGINT
+                     AS accept_ppm,
+                   (CASE WHEN b_cap = b.b THEN 1 ELSE 0 END)::BIGINT
+                     AS binding
+            FROM inv, b
+        """,
+        "ds_sample_token_budget": """
+            WITH d AS (SELECT doc_id, source,
+                (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END)::BIGINT AS n_tokens
+              FROM documents),
+            shares(source, share) AS (VALUES
+                ('src0', 500000), ('src1', 300000), ('src2', 200000)),
+            inv AS (SELECT d.source,
+                           sum(n_tokens)::BIGINT AS available_tokens,
+                           s.share::BIGINT AS target_share_ppm,
+                           (sum(n_tokens)::BIGINT * 1000000
+                              // s.share)::BIGINT AS b_cap
+                    FROM d JOIN shares s ON d.source = s.source
+                    GROUP BY d.source, s.share),
+            b AS (SELECT least(min(b_cap), 4000)::BIGINT AS b FROM inv),
+            rates AS (SELECT source,
+                   least((b.b * target_share_ppm // 1000000) * 1000000
+                           // available_tokens, 1000000)::BIGINT
+                     AS accept_ppm
+                      FROM inv, b)
+            SELECT d.doc_id, d.source, d.n_tokens
+            FROM d JOIN rates r ON d.source = r.source
+            WHERE ('0x' || substr(md5('tokmix-v1' || '|'
+                      || CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                    % 1000000 < r.accept_ppm
         """,
         "ds_mixture_sample": """
             WITH shares(source, share) AS (VALUES

@@ -265,3 +265,108 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("id", status.alias("status"), "old_hash", "new_hash")
+
+
+def token_budget_plan(
+    df: DataFrame,
+    target_shares_ppm: dict[str, int],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Solve a TOKEN-budget data-mixing plan: given per-source token
+    inventories and target token shares, emit the per-source sampling
+    plan a training run publishes before materializing anything — the
+    static-weights step of standard mixture tuning (the weights
+    themselves come from upstream, e.g. a DoReMi-style proxy run or a
+    hand-set recipe; this operator turns weights + a budget into
+    feasible, reproducible accept rates).
+
+    Feasibility: a source cannot contribute more tokens than it has, so
+    the realized budget is ``B = min(token_budget, min_s floor(avail_s *
+    1e6 / share_s))`` — the binding source (or the requested budget)
+    caps the whole mixture, preserving the SHARES rather than silently
+    skewing toward abundant sources. All arithmetic is integer (ppm),
+    so the Spark plan and the DuckDB oracle are bit-identical.
+
+    Emits one row per target source: (source, available_tokens,
+    target_share_ppm, target_tokens, accept_ppm, binding). ``binding``
+    marks the constraint that set B. ``accept_ppm`` feeds
+    ``sample_token_budget`` (or any md5-keyed Bernoulli filter):
+    accepting docs with draw < accept_ppm yields expected accepted
+    tokens = available * accept_ppm / 1e6 ≈ target_tokens, because the
+    draw is keyed on the doc id, independent of doc length.
+
+    Plan shape: one groupBy(source) sum (tiny — a row per source), one
+    1-row min aggregate broadcast back. Nothing scales with the corpus
+    except the first sum scan.
+    """
+    if not target_shares_ppm:
+        raise ValueError("target_shares_ppm must name at least one source")
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    shares = F.create_map(
+        *[x for k, v in sorted(target_shares_ppm.items())
+          for x in (F.lit(k), F.lit(int(v)))]
+    )
+    inv = (
+        df.filter(F.col(source_col).isin(*target_shares_ppm))
+        .groupBy(source_col)
+        .agg(F.sum(token_col).cast("long").alias("available_tokens"))
+        .withColumn("target_share_ppm",
+                    shares[F.col(source_col)].cast("long"))
+        .withColumn(
+            "__b_cap",
+            F.floor(F.col("available_tokens") * F.lit(_PPM)
+                    / F.col("target_share_ppm")).cast("long"),
+        )
+    )
+    b = inv.agg(
+        F.least(F.min("__b_cap"), F.lit(int(token_budget)).cast("long"))
+        .alias("__b")
+    )
+    return (
+        inv.crossJoin(F.broadcast(b))
+        .withColumn(
+            "target_tokens",
+            F.floor(F.col("__b") * F.col("target_share_ppm") / F.lit(_PPM))
+            .cast("long"),
+        )
+        .withColumn(
+            "accept_ppm",
+            F.least(
+                F.floor(F.col("target_tokens") * F.lit(_PPM)
+                        / F.col("available_tokens")),
+                F.lit(_PPM),
+            ).cast("long"),
+        )
+        .withColumn("binding", F.col("__b_cap") == F.col("__b"))
+        .select(source_col, "available_tokens", "target_share_ppm",
+                "target_tokens", "accept_ppm", "binding")
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    target_shares_ppm: dict[str, int],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "tokmix-v1",
+) -> DataFrame:
+    """Apply a ``token_budget_plan``: keep rows whose md5-keyed draw
+    falls under their source's accept rate — a pure filter, reproducible
+    on any cluster layout, expected accepted tokens per source ≈ the
+    plan's ``target_tokens``. Sources absent from the plan are dropped.
+    """
+    plan = token_budget_plan(
+        df, target_shares_ppm, token_budget, source_col, token_col
+    ).select(source_col, "accept_ppm")
+    draw = _hash_ppm(F.col(id_col).cast("string"), salt)
+    return (
+        df.withColumn("__draw", draw)
+        .join(F.broadcast(plan), source_col)
+        .filter(F.col("__draw") < F.col("accept_ppm"))
+        .drop("__draw", "accept_ppm")
+    )

@@ -674,3 +674,61 @@ def test_collocations_vs_python_oracle(spark):
     # sanity: 'new york' outranks 'of the'
     pair_rank = {(w1, w2): r for r, w1, w2, _, _ in got}
     assert pair_rank[("new", "york")] < pair_rank.get(("of", "the"), 99)
+
+
+# ------------------------------------------------- token-budget mixing
+
+
+def test_token_budget_plan_feasibility(spark):
+    """The realized budget must respect both the requested budget and
+    every source's inventory, preserving shares rather than skewing
+    toward abundant sources; `binding` marks what capped it."""
+    from nous_spark.operators.datasets import token_budget_plan
+
+    rows = [(i, "a" if i < 60 else "b", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    # a: 6000 tokens, b: 4000 tokens. Equal shares; b caps at 8000.
+    plan = {r.source: r for r in token_budget_plan(
+        df, {"a": 500_000, "b": 500_000}, token_budget=1_000_000
+    ).collect()}
+    assert plan["a"].available_tokens == 6000
+    assert plan["b"].available_tokens == 4000
+    # B = min(1e6, 6000*2, 4000*2) = 8000 -> 4000 tokens per source
+    assert plan["a"].target_tokens == 4000
+    assert plan["b"].target_tokens == 4000
+    assert plan["b"].binding and not plan["a"].binding
+    assert plan["b"].accept_ppm == 1_000_000          # keep all of b
+    assert plan["a"].accept_ppm == 666_666            # floor(4000/6000)
+    # requested-budget-binding regime: tiny budget, nobody's cap binds
+    plan2 = {r.source: r for r in token_budget_plan(
+        df, {"a": 500_000, "b": 500_000}, token_budget=2000
+    ).collect()}
+    assert plan2["a"].target_tokens == plan2["b"].target_tokens == 1000
+    assert not plan2["a"].binding and not plan2["b"].binding
+
+
+def test_sample_token_budget_hits_target(spark):
+    """Accepted tokens per source approximate the plan's target and the
+    sample is deterministic under repartitioning."""
+    from nous_spark.operators.datasets import (
+        sample_token_budget,
+        token_budget_plan,
+    )
+
+    rows = [(i, f"src{i % 2}", 50 + (i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    shares = {"src0": 700_000, "src1": 300_000}
+    budget = 40_000
+    plan = {r.source: r for r in
+            token_budget_plan(df, shares, budget).collect()}
+    got = sample_token_budget(df, shares, budget)
+    toks = {r.source: r.s for r in
+            got.groupBy("source").agg(F.sum("n_tokens").alias("s")).collect()}
+    for s in shares:
+        target = plan[s].target_tokens
+        assert abs(toks[s] - target) / target < 0.15, (s, toks[s], target)
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(r.doc_id for r in
+               sample_token_budget(df.repartition(13), shares, budget)
+               .collect())
+    assert a == b
