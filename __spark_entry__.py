@@ -1630,6 +1630,30 @@ def _q_mixture_sample(spark, sf):  # source rebalancing toward 50/30/20
     )
 
 
+def _q_cross_source_dup(spark, sf):  # provenance overlap matrix
+    from nous_spark.operators.dedup import cross_source_duplication
+
+    d = _read(spark, sf, "documents").select("doc_id", "source", "text")
+    # plant a mirror feed re-publishing every 10th doc (the synthetic
+    # sources rarely share exact contents); mirrored in the oracle
+    planted = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("mirror").alias("source"), "text",
+        )
+    )
+    return cross_source_duplication(planted)
+
+
+def _q_boilerplate_ngrams(spark, sf):  # repeated-span census
+    from nous_spark.operators.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _read(spark, sf, "documents").select("doc_id", "text"),
+        k=13, min_docs=2, top=20,
+    )
+
+
 _TOKMIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _TOKMIX_BUDGET = 4_000  # binds the feasibility cap at sf0.01, the
 #                         requested budget at sf0.1 — both solver paths
@@ -1966,6 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_corpus_report": _q_str_corpus_report,
         "ds_token_budget": _q_token_budget_plan,
         "ds_sample_token_budget": _q_sample_token_budget,
+        "dd_cross_source": _q_cross_source_dup,
+        "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
     }
 
 
@@ -3187,6 +3213,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, token_offset,
                    (token_offset // 400)::BIGINT AS shard_id
             FROM c
+        """,
+        "dd_cross_source": """
+            WITH d AS (SELECT doc_id, source, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, 'mirror', text
+                       FROM documents WHERE doc_id % 10 = 0),
+            hsrc AS (SELECT DISTINCT md5(text) AS h, source FROM d)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_contents
+            FROM hsrc a JOIN hsrc b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "dd_boilerplate_ngrams": """
+            WITH t AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                         md5(array_to_string(toks[i+1:i+13], ' ')) AS h,
+                         array_to_string(toks[i+1:i+13], ' ') AS gt
+                  FROM t, unnest(range(0, greatest(len(toks) - 12, 0)))
+                       AS u(i)
+                  WHERE len(toks) >= 13),
+            v AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                         min(gt) AS gram_text
+                  FROM g GROUP BY h
+                  HAVING count(DISTINCT doc_id) >= 2),
+            top AS (SELECT h, n_docs, gram_text FROM v
+                    ORDER BY n_docs DESC, h LIMIT 20)
+            SELECT row_number() OVER (ORDER BY n_docs DESC, h)::BIGINT
+                     AS rank,
+                   n_docs, gram_text
+            FROM top
         """,
         "ds_token_budget": """
             WITH d AS (SELECT doc_id, source,

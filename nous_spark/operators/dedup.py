@@ -644,3 +644,122 @@ def strip_duplicate_spans(
             .alias("n_stripped_tokens"),
         )
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every pair of sources,
+    how many distinct contents appear in BOTH — the provenance
+    diagnostic behind "is this partner feed just a re-crawl of the web
+    dump?". Run before mixture planning: a source pair with high overlap
+    double-counts its weight in any token-budget recipe.
+
+    Plan: one md5 groupBy to (hash, source-set), then per-hash source
+    pairs from the collected DISTINCT source set — bounded by the number
+    of sources (tiny), never by doc count; a hash shared by S sources
+    contributes S·(S-1)/2 pairs once, regardless of how many copies each
+    source holds. One shuffle on the hash, one count aggregate. Emits
+    (source_a, source_b, n_shared_contents), source_a < source_b,
+    only pairs with overlap.
+    """
+    hs = (
+        df.select(F.md5(F.col(text_col)).alias("__h"),
+                  F.col(source_col).alias("__s"))
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pair_arr = F.flatten(F.transform(
+        ss, lambda x, i: F.transform(
+            F.slice(ss, i + 2, F.size(ss)),
+            lambda y: F.struct(x.alias("source_a"), y.alias("source_b")))))
+    return (
+        hs.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_contents"))
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+    top: int = 50,
+) -> DataFrame:
+    """Boilerplate profile: the most widely repeated k-token spans and
+    how many documents carry them — the nav-bar/footer/license-block
+    census a curation run reads before deciding what duplicate_spans
+    should strip. Same positional-k-gram core as duplicate_spans, but
+    aggregated to the VOCABULARY side (gram -> distinct-doc count) and
+    joined back to one exemplar text via min(id, pos).
+
+    Top-k is orderBy().limit() (TakeOrderedAndProject) + a k-row
+    array_sort/posexplode rank — no global window anywhere (same shape
+    as collocations). Emits (rank, n_docs, gram_text).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = _spread(df).select(F.col(id_col).alias("id"),
+                              toks.alias("__toks"))
+    n = F.size("__toks")
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = base.select(
+        "id", "__toks",
+        F.posexplode(F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
+        )).alias("pos", "h"),
+    )
+    vocab = (
+        sh.groupBy("h")
+        .agg(
+            F.count_distinct("id").cast("long").alias("n_docs"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("ex"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # recover the exemplar text for the top grams only: join the tiny
+    # top-k vocabulary back to its (id, pos) slice
+    topv = vocab.orderBy(
+        F.col("n_docs").desc(), F.col("h")
+    ).limit(top).select("h", "n_docs", "ex.id", "ex.pos")
+    withtext = (
+        topv.join(base, "id")
+        .select(
+            "h", "n_docs",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("pos") + 1, k)
+            ).alias("gram_text"),
+        )
+    )
+    packed = withtext.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_docs")).alias("o"),
+                    F.col("h").alias("h"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("gram_text").alias("gram_text"),
+                )
+            )
+        ).alias("t")
+    )
+    return (
+        packed.select(F.posexplode("t").alias("i", "r"))
+        .select(
+            (F.col("i") + 1).cast("long").alias("rank"),
+            F.col("r.n_docs").alias("n_docs"),
+            "r.gram_text",
+        )
+    )

@@ -322,3 +322,49 @@ def test_lsh_signatures_all_null_partition(spark):
     ).repartition(4)
     assert lsh_signatures(df, dim=8, n_bits=4, n_tables=2,
                           impl="pandas").count() == 0
+
+
+def test_cross_source_duplication(spark):
+    """Pair counts are DISTINCT shared contents: copies within a source
+    don't inflate, three-way sharing yields all three pairs."""
+    from nous_spark.operators.dedup import cross_source_duplication
+
+    rows = [
+        (1, "web", "shared one"), (2, "feed", "shared one"),
+        (3, "feed", "shared one"),            # dup copy, same source
+        (4, "web", "shared two"), (5, "feed", "shared two"),
+        (6, "ref", "shared two"),             # three-way
+        (7, "web", "only web"), (8, "ref", "only ref"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {(r.source_a, r.source_b): r.n_shared_contents
+           for r in cross_source_duplication(df).collect()}
+    assert got == {
+        ("feed", "web"): 2,
+        ("feed", "ref"): 1,
+        ("ref", "web"): 1,
+    }
+
+
+def test_boilerplate_ngrams_census(spark):
+    """The planted footer is the top repeated span; rank order is
+    (n_docs desc, hash) and gram_text is the exemplar 13-gram."""
+    from nous_spark.operators.dedup import boilerplate_ngrams
+
+    footer = "c o p y r i g h t f o o t e r"          # 13 tokens
+    navbar = "h o m e a b o u t n a v x"              # 13 tokens
+    rows = [(i, f"doc {i} body text then {footer}") for i in range(6)]
+    rows += [(10 + i, f"other {i} stuff {navbar}") for i in range(3)]
+    rows.append((99, "unique text with no repeats at all here today"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_ngrams(df, k=13, min_docs=2, top=10).collect()
+    assert out[0].rank == 1
+    assert out[0].n_docs == 6
+    # shared suffix is "body text then <footer>" (3 + 15 = 18 tokens)
+    # -> exactly 6 overlapping 13-grams at count 6; navbar's shared
+    # suffix is "stuff <navbar>" (14 tokens) -> 2 grams at count 3
+    n_docs_seq = [r.n_docs for r in out]
+    assert n_docs_seq == [6, 6, 6, 6, 6, 6, 3, 3]
+    assert all("r i g h t" in r.gram_text
+               for r in out if r.n_docs == 6)
+    assert all("a b o u t" in r.gram_text for r in out if r.n_docs == 3)
