@@ -1630,6 +1630,26 @@ def _q_mixture_sample(spark, sf):  # source rebalancing toward 50/30/20
     )
 
 
+def _q_index_dedup(spark, sf):  # incremental dedup vs a persisted index
+    import tempfile
+
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    # corpus = docs outside the %3 residue, batch = the residue: the
+    # incremental path must find exactly the cross pairs the batch
+    # pipeline finds on the union (equivalence verified in
+    # gen_values_oracles + pytest)
+    path = tempfile.mkdtemp(prefix="mhidx_gate_")
+    build_minhash_index(d.filter(F.col("doc_id") % 3 != 0), path)
+    return dedup_against_index(
+        d.filter(F.col("doc_id") % 3 == 0), path, threshold=0.7
+    )
+
+
 def _q_cross_source_dup(spark, sf):  # provenance overlap matrix
     from nous_spark.operators.dedup import cross_source_duplication
 
@@ -1992,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_sample_token_budget": _q_sample_token_budget,
         "dd_cross_source": _q_cross_source_dup,
         "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
+        "dd_index_dedup": _q_index_dedup,
     }
 
 

@@ -94,6 +94,33 @@ def minhash_signatures(
     return shingled.select("id", sig.alias("signature"))
 
 
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, band_hash): hash each signature band — the LSH bucket
+    key shared by the self-join pipeline and the persisted index."""
+    return signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature",
+                                        b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -108,26 +135,8 @@ def lsh_candidate_pairs(
     persist(), the checkpoint blocks are released automatically once
     the consumer plan is garbage-collected, so repeated calls in a
     long-lived session don't accumulate storage blocks."""
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash").localCheckpoint(eager=True)
+    banded = _banded(signatures, bands, rows_per_band) \
+        .localCheckpoint(eager=True)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -762,4 +771,108 @@ def boilerplate_ngrams(
             F.col("r.n_docs").alias("n_docs"),
             "r.gram_text",
         )
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Persist a MinHash dedup INDEX so future batches dedup against the
+    corpus without re-shingling it — at 100 TB the incremental path is
+    the only affordable one (a daily 1% delta must not cost a full
+    corpus pass). Layout:
+
+    - ``{path}/banded`` — (id, band_hash) partitioned BY BAND: a new
+      batch's banded signatures join per band with file-level pruning
+      (the same partition-pruning trade as the IVF index).
+    - ``{path}/shingles`` — (id, shingle_hashes) for exact-Jaccard
+      verification of candidates; storage trades for recompute, which is
+      the point of an index.
+    - ``{path}/meta`` — one row pinning (n, num_hashes, bands) so a
+      querying batch cannot silently hash with drifted parameters.
+    """
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, num_hashes)
+    banded = _banded(sig, bands, num_hashes // bands)
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/banded")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    df.sparkSession.createDataFrame(
+        [(int(n), int(num_hashes), int(bands))],
+        "n int, num_hashes int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def update_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a new batch to an existing index (same parameter pinning —
+    read from ``{path}/meta``). Caller guarantees ids are new."""
+    spark = df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    sh = shingles(df, text_col, id_col, m.n).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, m.num_hashes)
+    _banded(sig, m.bands, m.num_hashes // m.bands).write.mode(
+        "append").partitionBy("band").parquet(f"{path}/banded")
+    sh.write.mode("append").parquet(f"{path}/shingles")
+
+
+def dedup_against_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an indexed corpus: shingle
+    and sign only the batch, band-join against the stored banded table
+    (per-band partition pruning), verify candidates with exact Jaccard
+    against the stored shingle arrays. Cost scales with the BATCH plus
+    the candidate set — the indexed corpus is only touched through the
+    band join and the candidate semi-join, never rescanned.
+
+    Returns (new_id, index_id, jaccard), jaccard >= threshold — exactly
+    the cross pairs ``minhash_near_duplicates`` would emit on the union
+    corpus with the same parameters (equivalence pinned in tests and in
+    the VALUES-oracle verifier).
+    """
+    spark = df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    sh_new = shingles(df, text_col, id_col, m.n).localCheckpoint(eager=True)
+    sig_new = minhash_signatures(sh_new, m.num_hashes)
+    banded_new = _banded(sig_new, m.bands, m.num_hashes // m.bands)
+    banded_old = spark.read.parquet(f"{path}/banded")
+    cand = (
+        banded_new.alias("l")
+        .join(banded_old.alias("r"), ["band", "band_hash"])
+        .select(F.col("l.id").alias("new_id"), F.col("r.id").alias("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    return (
+        cand
+        .join(sh_new.select(F.col("id").alias("new_id"),
+                            F.col("shingle_hashes").alias("sh_a")), "new_id")
+        .join(sh_old.select(F.col("id").alias("index_id"),
+                            F.col("shingle_hashes").alias("sh_b")), "index_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")),
+                             F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
     )

@@ -66,6 +66,10 @@ GATES = [
     # verified below by an independent plain-Python sync-LPA from the
     # parquet with the identical tie-break and cap
     "g_label_propagation",
+    # round-7: incremental dedup against the persisted minhash index —
+    # verified below by exact equivalence to the batch pipeline's cross
+    # pairs on the union corpus (same banding, same verification)
+    "dd_index_dedup",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -197,6 +201,8 @@ def main() -> None:
     print("g_k_core: independent Python peel check OK")
     verify_label_propagation()
     print("g_label_propagation: independent Python sync-LPA check OK")
+    verify_index_dedup()
+    print("dd_index_dedup: brute-force cross-split text-Jaccard check OK")
 
 
 def _cooccur_adj_mod20():
@@ -818,6 +824,44 @@ def verify_minhash_against_text(spark) -> None:
                 want[(ids[i], ids[k])] = j
     assert set(got) == set(want), (
         f"only-oracle={set(got) - set(want)} only-brute={set(want) - set(got)}")
+    for p, j in got.items():
+        assert abs(want[p] - j) <= 1e-4, (p, j, want[p])
+
+
+def verify_index_dedup() -> None:
+    """Brute-force verification of the incremental path: the oracle's
+    (new_id, index_id) pairs must EQUAL every cross-split pair (new =
+    doc_id %% 3 == 0 vs corpus = the rest) whose TRUE string-shingle
+    Jaccard is >= 0.7 — pure Python, no Spark, no hashing. At the
+    corpus's dup rates every such pair collides in at least one band
+    (all observed pairs sit >= 0.9), so LSH recall is exact here and
+    set EQUALITY is the right assertion, not subset."""
+    sets = _doc_shingle_sets()
+    names, rows = _oracle_rows("dd_index_dedup")
+    got = {}
+    for r in rows:
+        a, b, j = (r[names.index(c)]
+                   for c in ("new_id", "index_id", "jaccard"))
+        got[(int(a), int(b))] = float(j)
+    assert got, "empty index-dedup oracle"
+    want = {}
+    ids = sorted(sets)
+    for a in ids:
+        if a % 3 != 0:
+            continue
+        for b in ids:
+            if b % 3 == 0:
+                continue
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            j = inter / len(sa | sb)
+            if j >= 0.7:
+                want[(a, b)] = j
+    assert set(got) == set(want), (
+        f"only-oracle={set(got) - set(want)} "
+        f"only-brute={set(want) - set(got)}")
     for p, j in got.items():
         assert abs(want[p] - j) <= 1e-4, (p, j, want[p])
 

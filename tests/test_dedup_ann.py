@@ -368,3 +368,69 @@ def test_boilerplate_ngrams_census(spark):
     assert all("r i g h t" in r.gram_text
                for r in out if r.n_docs == 6)
     assert all("a b o u t" in r.gram_text for r in out if r.n_docs == 3)
+
+
+def test_minhash_index_incremental_equals_batch(spark, tmp_path):
+    """dedup_against_index must return EXACTLY the cross pairs the batch
+    pipeline finds on the union corpus (same banding, same verification),
+    and update_minhash_index must fold a batch into the corpus side."""
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_near_duplicates,
+        update_minhash_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank today while the sun sets slowly behind distant hills")
+    old = [(1, base), (2, "totally different content about query engines"),
+           (3, base.replace("lazy", "sleepy"))]
+    new = [(101, base),                           # near-dups 1 and 3
+           (102, "fresh unrelated text about arrow batches and pandas"),
+           (103, base + " with a small tail appended")]
+    old_df = spark.createDataFrame(old, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new, ["doc_id", "text"])
+
+    path = str(tmp_path / "mhidx")
+    build_minhash_index(old_df, path)
+    got = {(r.new_id, r.index_id, r.jaccard)
+           for r in dedup_against_index(new_df, path, threshold=0.5)
+           .collect()}
+
+    union = old_df.unionByName(new_df)
+    batch = {(max(r.a, r.b), min(r.a, r.b), r.jaccard)
+             for r in minhash_near_duplicates(union, threshold=0.5).collect()
+             if (r.a > 100) != (r.b > 100)}
+    assert got == batch and (101, 1, 1.0) in got
+
+    # fold the new batch in; a third batch now matches members of BOTH
+    update_minhash_index(new_df, path)
+    third = spark.createDataFrame([(201, base)], ["doc_id", "text"])
+    got2 = {(r.new_id, r.index_id) for r in
+            dedup_against_index(third, path, threshold=0.5).collect()}
+    assert (201, 1) in got2 and (201, 101) in got2
+
+
+def test_minhash_index_meta_pins_params(spark, tmp_path):
+    """The querying batch hashes with the INDEX's parameters, not its
+    own defaults — meta is read back, so a drifted caller cannot
+    silently band differently."""
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    build_minhash_index(df, path, n=2, num_hashes=16, bands=4)
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (m.n, m.num_hashes, m.bands) == (2, 16, 4)
+    out = dedup_against_index(
+        spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"]),
+        path, threshold=0.9)
+    assert [(r.new_id, r.index_id, r.jaccard) for r in out.collect()] \
+        == [(2, 1, 1.0)]
