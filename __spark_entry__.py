@@ -1213,7 +1213,7 @@ def _q_str_corpus_report(spark, sf):  # §2.9 complete-mode health report
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
     q = (
-        streaming_corpus_report(stream)
+        streaming_corpus_report(stream, spread_partitions=16)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )

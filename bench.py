@@ -82,9 +82,21 @@ def main() -> None:
         "txt_collocations",
         "ds_corpus_diff",
     ]
+    # round-7 additions: own group so the three earlier walls stay
+    # comparable round-over-round
+    r7 = [
+        "ds_token_budget",
+        "ds_sample_token_budget",
+        "dd_cross_source",
+        "dd_boilerplate_ngrams",
+        "dd_index_dedup",
+        "str_funnel_counts",
+        "str_corpus_report",
+    ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
     asm_timings: dict[str, float] = {}
+    r7_timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
     # warm the JVM/Arrow paths once so timings measure the engine, not init
@@ -110,7 +122,9 @@ def main() -> None:
     par_per_query: dict[str, float] = {}
     for name, sink in [(n, timings) for n in headline] + [
         (n, ext_timings) for n in extended
-    ] + [(n, asm_timings) for n in assembly]:
+    ] + [(n, asm_timings) for n in assembly] + [
+        (n, r7_timings) for n in r7
+    ]:
         fn = queries[name]
         best, n = float("inf"), 0
         for _ in range(reps):
@@ -162,6 +176,7 @@ def main() -> None:
         "extract_docs_per_sec": extract_tput,
         "extended_wall": round(sum(ext_timings.values()), 3),
         "assembly_wall": round(sum(asm_timings.values()), 3),
+        "r7_wall": round(sum(r7_timings.values()), 3),
         "reps": reps,
         "agg": "min",
         **probes,
@@ -169,6 +184,7 @@ def main() -> None:
     side = {
         "extended_queries": ext_timings,
         "assembly_queries": asm_timings,
+        "r7_queries": r7_timings,
         "query_bw_probe_sec": bw_per_query,
         "query_par_probe_sec": par_per_query,
         "headline": out,

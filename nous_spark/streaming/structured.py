@@ -361,6 +361,7 @@ def streaming_corpus_report(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming twin of operators/curation.py::corpus_report for
     COMPLETE output mode: per-source volume and quality-signal means
@@ -380,6 +381,15 @@ def streaming_corpus_report(
 
     Works identically on a static frame (tests/oracles) and a
     readStream frame (complete-mode dashboard).
+
+    ``spread_partitions``: the regex-heavy signal pass runs in the
+    SOURCE partitions (pre-shuffle); a stream whose microbatches arrive
+    as one file each runs it single-core. Setting this repartitions each
+    batch before the signals — one text shuffle per batch buys
+    cluster-wide parallelism on the pass, worth it exactly when source
+    parallelism < cores. Leave None in production, where a trigger
+    spans many source files (the batch twin's ``_spread`` can't be used
+    here: partition counts are unknowable on an unstarted stream).
     """
     from nous_spark.operators.textstats import (
         language_id,
@@ -387,6 +397,8 @@ def streaming_corpus_report(
         token_counts,
     )
 
+    if spread_partitions:
+        docs = docs.repartition(spread_partitions)
     d = token_counts(
         repetition_scores(language_id(docs, text_col), text_col), text_col
     )
