@@ -738,17 +738,23 @@ def boilerplate_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
-    # recover the exemplar text for the top grams only: join the tiny
-    # top-k vocabulary back to its (id, pos) slice
+    # recover the exemplar text for the top grams only: semi-join the
+    # corpus down to the <=top exemplar docs BEFORE tokenizing again —
+    # the whole corpus is never re-tokenized for a 50-row report
     topv = vocab.orderBy(
         F.col("n_docs").desc(), F.col("h")
     ).limit(top).select("h", "n_docs", "ex.id", "ex.pos")
+    ex_docs = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(F.broadcast(topv.select("id")), "id", "left_semi")
+        .select("id", toks.alias("__extoks"))
+    )
     withtext = (
-        topv.join(base, "id")
+        topv.join(ex_docs, "id")
         .select(
             "h", "n_docs",
             F.concat_ws(
-                " ", F.slice("__toks", F.col("pos") + 1, k)
+                " ", F.slice("__extoks", F.col("pos") + 1, k)
             ).alias("gram_text"),
         )
     )
