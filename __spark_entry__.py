@@ -1650,6 +1650,53 @@ def _q_index_dedup(spark, sf):  # incremental dedup vs a persisted index
     )
 
 
+def _q_str_index_dedup(spark, sf):  # §2.9 streaming incremental dedup
+    import os
+    import tempfile
+
+    from nous_spark.operators.dedup import build_minhash_index
+    from nous_spark.streaming.structured import streaming_index_dedup
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="stridx_idx_")
+    build_minhash_index(d.filter(F.col("doc_id") % 3 == 1), idx)
+    # two mtime-ordered microbatches of NEW docs. Batch 2 carries planted
+    # replicas (drop-last-token, new ids) exercising every pair source:
+    # +10M replicas of batch-1 docs — only catchable because batch 1 was
+    # FOLDED into the index between triggers — and +20M replicas of its
+    # own docs, the within-batch arm. Natural near-dups against the %3==1
+    # corpus cover the plain index arm. The VALUES oracle is verified by
+    # a pure-Python brute force over true string-shingle sets
+    # (gen_values_oracles.verify_streaming_index_dedup).
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: F.length(x) > 0)
+    drop_last = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))))
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    rep_b1 = b1.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        drop_last.alias("text"))
+    b2n = d.filter(F.col("doc_id") % 3 == 2)
+    rep_b2 = b2n.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        drop_last.alias("text"))
+    b2 = b2n.unionByName(rep_b1).unionByName(rep_b2)
+    src = tempfile.mkdtemp(prefix="stridx_src_")
+    for i, b in enumerate([b1, b2]):
+        dd = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(dd)
+        for f in os.listdir(dd):
+            if f.endswith(".parquet"):
+                os.rename(f"{dd}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    out = tempfile.mkdtemp(prefix="stridx_out_")
+    q = streaming_index_dedup(spark, src, idx, f"{out}/pairs")
+    q.awaitTermination(120)
+    return spark.read.parquet(f"{out}/pairs").select(
+        "new_id", "index_id", "jaccard")
+
+
 def _q_cross_source_dup(spark, sf):  # provenance overlap matrix
     from nous_spark.operators.dedup import cross_source_duplication
 
@@ -2013,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cross_source": _q_cross_source_dup,
         "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
         "dd_index_dedup": _q_index_dedup,
+        "str_index_dedup": _q_str_index_dedup,
     }
 
 

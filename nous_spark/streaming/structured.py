@@ -498,3 +498,89 @@ def streaming_funnel_counts(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_index_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    out_dir: str,
+    schema: str = "doc_id BIGINT, text STRING",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    update_index: bool = True,
+    within_batch: bool = True,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous incremental near-dedup of an ingest stream against the
+    persisted MinHash index (operators/dedup.py::build_minhash_index) —
+    the production shape of corpus dedup: a daily/hourly delta must be
+    checked against the WHOLE historical corpus without ever rescanning
+    it, then folded into the index so later deltas see it too.
+
+    foreachBatch per microbatch:
+      1. ``dedup_against_index(batch)`` — band-join against the stored
+         banded table (per-band file pruning), exact-Jaccard verify on
+         candidates; cost scales with the batch + its candidates.
+      2. ``within_batch=True`` adds the batch's INTERNAL near-dup pairs
+         (two replicas arriving in the same delta would otherwise both
+         survive) via the same banded self-join, with the index's pinned
+         (n, num_hashes, bands) parameters; emitted in arrival
+         convention: later id as ``new_id``, earlier as ``index_id``.
+      3. append pairs to ``{out_dir}`` parquet.
+      4. ``update_index=True`` folds the batch into the index, so batch
+         k+1 dedups against corpus ∪ batches 1..k.
+
+    Net contract over a drained stream: the sink holds EXACTLY the pairs
+    (a, b, jaccard >= threshold) where b is a streamed doc and a precedes
+    it (in the index, an earlier batch, or the same batch with a smaller
+    id) — i.e. every pair the batch pipeline would find on the union
+    corpus that involves at least one streamed doc (pinned in the
+    VALUES-oracle verifier + pytest). Exactly-once via the streaming
+    checkpoint; the index append in (4) is idempotent only per-batch-id,
+    so a mid-batch crash re-runs the whole batch (parquet append + the
+    checkpoint barrier make the re-run observationally identical).
+
+    Returns the started StreamingQuery.
+    """
+    from nous_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_near_duplicates,
+        update_minhash_index,
+    )
+
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        pairs = dedup_against_index(
+            batch_df, index_path, text_col, id_col, threshold)
+        if within_batch:
+            internal = minhash_near_duplicates(
+                batch_df, text_col, id_col,
+                n=m.n, num_hashes=m.num_hashes, bands=m.bands,
+                threshold=threshold,
+            ).select(
+                F.greatest("a", "b").alias("new_id"),
+                F.least("a", "b").alias("index_id"),
+                "jaccard",
+            )
+            pairs = pairs.unionByName(internal)
+        pairs.write.mode("append").parquet(out_dir)
+        if update_index:
+            update_minhash_index(batch_df, index_path, text_col, id_col)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,6 +70,12 @@ GATES = [
     # verified below by exact equivalence to the batch pipeline's cross
     # pairs on the union corpus (same banding, same verification)
     "dd_index_dedup",
+    # round-7: the streaming twin — two mtime-ordered microbatches
+    # foreachBatch-deduped against the index with fold-in between
+    # triggers; verified below by a pure-Python brute force over true
+    # string-shingle sets with the gate's exact batch/replica
+    # construction and arrival-orientation rules, plus planted recall
+    "str_index_dedup",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -203,6 +209,9 @@ def main() -> None:
     print("g_label_propagation: independent Python sync-LPA check OK")
     verify_index_dedup()
     print("dd_index_dedup: brute-force cross-split text-Jaccard check OK")
+    verify_streaming_index_dedup()
+    print("str_index_dedup: two-batch brute-force re-derivation + "
+          "planted recall OK")
 
 
 def _cooccur_adj_mod20():
@@ -864,6 +873,83 @@ def verify_index_dedup() -> None:
         f"only-brute={set(want) - set(got)}")
     for p, j in got.items():
         assert abs(want[p] - j) <= 1e-4, (p, j, want[p])
+
+
+def verify_streaming_index_dedup() -> None:
+    """Pure-Python re-derivation of the whole streaming run: rebuild the
+    gate's batches (index = %3==1; batch 1 = %3==0; batch 2 = %3==2 plus
+    +10M drop-last replicas of the two smallest batch-1 docs and +20M
+    replicas of its own two smallest), then enumerate every pair (new,
+    pred) with TRUE string-shingle Jaccard >= 0.7 where pred precedes
+    new — in the index, an earlier batch, or the same batch with a
+    smaller id (the operator's greatest/least arrival convention). The
+    oracle pair set must EQUAL that; same exact-recall argument as
+    verify_index_dedup (all observed pairs sit >= 0.9). Also asserts the
+    planted replicas were each caught against their source doc."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = {int(d): (t or "") for d, t in
+             zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+
+    def shingle_set(text: str) -> frozenset:
+        toks = re.split(r"\s+", text.strip().lower())
+        return frozenset(
+            " ".join(toks[i:i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1))
+
+    def drop_last(text: str) -> str:
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        return " ".join(toks[:-1] if len(toks) > 1 else toks[:1])
+
+    index_ids = sorted(i for i in texts if i % 3 == 1)
+    b1_ids = sorted(i for i in texts if i % 3 == 0)
+    b2n_ids = sorted(i for i in texts if i % 3 == 2)
+    all_texts = dict(texts)
+    for s in b1_ids[:2]:
+        all_texts[s + 10_000_000] = drop_last(texts[s])
+    for s in b2n_ids[:2]:
+        all_texts[s + 20_000_000] = drop_last(texts[s])
+    b2_ids = sorted(b2n_ids + [s + 10_000_000 for s in b1_ids[:2]]
+                    + [s + 20_000_000 for s in b2n_ids[:2]])
+    sets = {i: shingle_set(t) for i, t in all_texts.items()}
+
+    def jac(a, b):
+        inter = len(sets[a] & sets[b])
+        return inter / len(sets[a] | sets[b]) if inter else 0.0
+
+    want = {}
+    for batch, preds in ((b1_ids, index_ids),
+                         (b2_ids, index_ids + b1_ids)):
+        for x in batch:
+            for p in preds:
+                j = jac(x, p)
+                if j >= 0.7:
+                    want[(x, p)] = j
+            for y in batch:
+                if y < x:
+                    j = jac(x, y)
+                    if j >= 0.7:
+                        want[(x, y)] = j
+
+    names, rows = _oracle_rows("str_index_dedup")
+    got = {}
+    for r in rows:
+        a, b, j = (r[names.index(c)]
+                   for c in ("new_id", "index_id", "jaccard"))
+        got[(int(a), int(b))] = float(j)
+    assert set(got) == set(want), (
+        f"only-oracle={set(got) - set(want)} "
+        f"only-brute={set(want) - set(got)}")
+    for p, j in got.items():
+        assert abs(want[p] - j) <= 1e-4, (p, j, want[p])
+    for s in b1_ids[:2]:
+        assert (s + 10_000_000, s) in got, f"cross-batch replica {s} missed"
+    for s in b2n_ids[:2]:
+        assert (s + 20_000_000, s) in got, f"within-batch replica {s} missed"
 
 
 def verify_simhash_against_numpy(spark) -> None:

@@ -395,3 +395,52 @@ def test_streaming_corpus_report_matches_batch_subset(spark):
     got = {tuple(r) for r in streaming_corpus_report(df).select(*cols).collect()}
     want = {tuple(r) for r in corpus_report(df).select(*cols).collect()}
     assert got == want
+
+
+def test_streaming_index_dedup_incremental(spark, tmp_path):
+    """Two microbatches against a persisted index: the drained sink must
+    hold EXACTLY the pairs involving a streamed doc — vs the original
+    index, vs the previously-folded batch, and within one batch — and
+    the index must contain every streamed doc afterwards."""
+    import os
+
+    from nous_spark.operators.dedup import build_minhash_index
+    from nous_spark.streaming.structured import streaming_index_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = [(1, base), (2, "completely unrelated corpus filler text")]
+    b1 = [(10, base + " phi"),                  # near-dup of 1 (index arm)
+          (11, "another standalone document about spark plans")]
+    b2 = [(20, base + " phi chi"),              # near-dup of 1 AND 10
+          (21, "more filler that matches nothing else"),
+          (22, "more filler that matches nothing else too")]  # ~dup of 21
+    idx = str(tmp_path / "idx")
+    build_minhash_index(spark.createDataFrame(corpus, ["doc_id", "text"]),
+                        idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(rows, ["doc_id", "text"]) \
+            .coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    out = str(tmp_path / "out")
+    q = streaming_index_dedup(spark, src, idx, f"{out}/pairs",
+                              threshold=0.5)
+    q.awaitTermination(120)
+    got = {(r.new_id, r.index_id) for r in
+           spark.read.parquet(f"{out}/pairs").collect()}
+    assert (10, 1) in got                 # batch 1 vs index
+    assert (20, 1) in got                 # batch 2 vs index
+    assert (20, 10) in got                # batch 2 vs FOLDED batch 1
+    assert (22, 21) in got                # within-batch, greatest/least
+    assert all(a > b or a > 2 for a, b in got)
+    # every streamed doc is now in the index's shingle store
+    ids = {r.id for r in
+           spark.read.parquet(f"{idx}/shingles").select("id").collect()}
+    assert {1, 2, 10, 11, 20, 21, 22} <= ids
