@@ -90,6 +90,7 @@ def main() -> None:
         "dd_cross_source",
         "dd_boilerplate_ngrams",
         "dd_index_dedup",
+        "str_index_dedup",
         "str_funnel_counts",
         "str_corpus_report",
     ]
