@@ -794,9 +794,13 @@ def build_minhash_index(
     the only affordable one (a daily 1% delta must not cost a full
     corpus pass). Layout:
 
-    - ``{path}/banded`` — (id, band_hash) partitioned BY BAND: a new
-      batch's banded signatures join per band with file-level pruning
-      (the same partition-pruning trade as the IVF index).
+    - ``{path}/banded`` — (id, band_hash) partitioned BY BAND. A full
+      probe touches every band (the querying batch carries all bands,
+      so nothing prunes); the layout pays off through
+      ``dedup_against_index(bands_to_probe=B)``, whose ``band < B``
+      predicate prunes the unprobed bands at the file level (the same
+      partition-pruning trade as the IVF index, plan-asserted in
+      tests), and by allowing band-sliced compaction/processing.
     - ``{path}/shingles`` — (id, shingle_hashes) for exact-Jaccard
       verification of candidates; storage trades for recompute, which is
       the point of an index.
@@ -855,18 +859,30 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    bands_to_probe: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an indexed corpus: shingle
-    and sign only the batch, band-join against the stored banded table
-    (per-band partition pruning), verify candidates with exact Jaccard
-    against the stored shingle arrays. Cost scales with the BATCH plus
-    the candidate set — the indexed corpus is only touched through the
-    band join and the candidate semi-join, never rescanned.
+    and sign only the batch, band-join against the stored banded table,
+    verify candidates with exact Jaccard against the stored shingle
+    arrays. Cost scales with the BATCH plus the candidate set — the
+    indexed corpus is only touched through the band join and the
+    candidate semi-join, never rescanned.
 
-    Returns (new_id, index_id, jaccard), jaccard >= threshold — exactly
-    the cross pairs ``minhash_near_duplicates`` would emit on the union
-    corpus with the same parameters (equivalence pinned in tests and in
-    the VALUES-oracle verifier).
+    ``bands_to_probe`` (default: all) probes only the first B bands —
+    the recall/cost knob the by-band index layout exists for. A full
+    probe reads every band partition (the batch carries all bands, so
+    nothing prunes); a partial probe becomes a literal ``band < B``
+    filter on BOTH sides, which reaches the banded table's partition
+    column and prunes the unprobed bands at the FILE level
+    (plan-asserted in tests). Recall at a given true Jaccard j drops
+    from 1-(1-j^r)^bands to 1-(1-j^r)^B (r = rows per band) — e.g. at
+    the default 8×4 index, j=0.9: 8 bands 0.9996, 4 bands 0.980, at
+    half the index scan and half the join.
+
+    Returns (new_id, index_id, jaccard), jaccard >= threshold — a full
+    probe emits exactly the cross pairs ``minhash_near_duplicates``
+    would on the union corpus with the same parameters (equivalence
+    pinned in tests and in the VALUES-oracle verifier).
     """
     spark = df.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -874,6 +890,9 @@ def dedup_against_index(
     sig_new = minhash_signatures(sh_new, m.num_hashes)
     banded_new = _banded(sig_new, m.bands, m.num_hashes // m.bands)
     banded_old = spark.read.parquet(f"{path}/banded")
+    if bands_to_probe is not None and bands_to_probe < m.bands:
+        banded_new = banded_new.filter(F.col("band") < bands_to_probe)
+        banded_old = banded_old.filter(F.col("band") < bands_to_probe)
     cand = (
         banded_new.alias("l")
         .join(banded_old.alias("r"), ["band", "band_hash"])

@@ -434,3 +434,38 @@ def test_minhash_index_meta_pins_params(spark, tmp_path):
         path, threshold=0.9)
     assert [(r.new_id, r.index_id, r.jaccard) for r in out.collect()] \
         == [(2, 1, 1.0)]
+
+
+def test_index_partial_probe_prunes_band_partitions(spark, tmp_path):
+    """bands_to_probe: a partial probe must (a) emit a subset of the
+    full probe's pairs while keeping high-Jaccard recall, and (b) reach
+    the banded table's partition column — the band < B predicate shows
+    up as a PartitionFilter on the parquet scan, not a post-scan
+    filter."""
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen")
+    old = [(i, f"{base} tail{i}") for i in range(1, 5)]
+    new = [(101, base + " tail1"), (102, "nothing in common here at all")]
+    path = str(tmp_path / "idx")
+    build_minhash_index(spark.createDataFrame(old, ["doc_id", "text"]),
+                        path)
+    ndf = spark.createDataFrame(new, ["doc_id", "text"])
+    full = {(r.new_id, r.index_id)
+            for r in dedup_against_index(ndf, path, threshold=0.5).collect()}
+    part_df = dedup_against_index(ndf, path, threshold=0.5,
+                                  bands_to_probe=4)
+    part = {(r.new_id, r.index_id) for r in part_df.collect()}
+    assert part <= full
+    assert (101, 1) in part  # identical doc: every band collides
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan
+    # the pruning predicate must be IN the partition filters, i.e. the
+    # scan lists band < 4 alongside the partition column
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*band[^\]]*4[^\]]*\]", plan)
+    assert pf, plan[:2000]
