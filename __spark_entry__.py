@@ -966,6 +966,38 @@ def _q_ann_ivf_query(spark, sf):  # IVF build-once index + query
     )
 
 
+def _q_ann_ivf_add(spark, sf):  # incremental IVF index update
+    import tempfile
+
+    from nous_spark.operators.ann import (
+        ivf_add_vectors,
+        ivf_build_index,
+        ivf_load_index,
+        ivf_query,
+        ivf_save_index,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # index trained and saved on 3/4 of the corpus; the %4==0 delta is
+    # folded in WITHOUT retraining (assigned to the existing centroids).
+    # Queries 0..2 include vec_id 0 — an ADDED vector — whose rank-1
+    # self-recovery proves the delta landed in the probed cells; the
+    # VALUES oracle is NumPy-verified (cosines, rank order, recovery) in
+    # gen_values_oracles.verify_ann_ivf_add.
+    path = tempfile.mkdtemp(prefix="ivfadd_gate_")
+    cents, assigned = ivf_build_index(
+        emb.filter(F.col("vec_id") % 4 != 0), dim=dim, n_cells=8)
+    ivf_save_index(cents, assigned, path)
+    ivf_add_vectors(emb.filter(F.col("vec_id") % 4 == 0), path)
+    cents2, assigned2 = ivf_load_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query(cents2, assigned2, q, k=10, n_probe=3).select(
+        "query_id", "vec_id", "cosine", "rank")
+
+
 def _q_str_exact_dedup(spark, sf):  # streaming exact dedup (§2.9)
     import tempfile
 
@@ -2061,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
         "dd_index_dedup": _q_index_dedup,
         "str_index_dedup": _q_str_index_dedup,
+        "ann_ivf_add": _q_ann_ivf_add,
     }
 
 

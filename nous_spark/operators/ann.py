@@ -326,6 +326,16 @@ def ivf_build_index(
     assigned(vec_id, v_emb, cell))."""
     cents = ivf_train_centroids(vectors, dim, n_cells, kmeans_iter, seed,
                                 vec_col)
+    return cents, _assign_cells(vectors, cents, id_col, vec_col)
+
+
+def _assign_cells(vectors: DataFrame, cents: list[list[float]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid — the SAME top-1
+    dot-product scoring and score-tie break as ivf_topk/ivf_query, so
+    build-time, add-time, and query-time cell choices can never drift."""
+    n_cells = len(cents)
 
     def cell_scores(col):
         v = col.cast("array<double>")
@@ -338,7 +348,6 @@ def ivf_build_index(
             for c in cents
         ])
 
-    # same top-1 selection (and score-tie break) as ivf_topk/ivf_query
     def top1(col):
         scores = cell_scores(col)
         idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
@@ -346,11 +355,31 @@ def ivf_build_index(
                            lambda s, i: F.struct(s.alias("s"), i.alias("i")))
         return F.slice(F.reverse(F.array_sort(pairs)), 1, 1)[0]["i"]
 
-    assigned = vectors.select(
+    return vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v_emb"),
     ).withColumn("cell", top1(F.col("v_emb")).cast("int"))
-    return cents, assigned
+
+
+def ivf_add_vectors(new_vectors: DataFrame, path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Fold a new vector batch into a SAVED IVF index without
+    retraining — the embedding-side twin of ``update_minhash_index``:
+    at 100 TB a daily embedding delta must not re-run kmeans or rewrite
+    the store. New vectors are assigned to the EXISTING centroids (the
+    shared ``_assign_cells`` scoring, so an added vector lands in
+    exactly the cell a query probe will look in) and appended to the
+    by-cell partitioned store, repartitioned onto the cell key first so
+    each delta adds one file per cell instead of tasks×cells fragments.
+    Centroid drift is the caller's trade: periodically rebuild with
+    ``ivf_build_index`` when recall degrades (the standard IVF
+    operational pattern). Caller guarantees ids are new."""
+    spark = new_vectors.sparkSession
+    cents, _ = ivf_load_index(spark, path)
+    _assign_cells(new_vectors, cents, id_col, vec_col).repartition(
+        len(cents), "cell").write.mode("append").partitionBy(
+        "cell").parquet(f"{path}/vectors")
 
 
 def ivf_save_index(cents: list[list[float]], assigned: DataFrame,

@@ -76,6 +76,10 @@ GATES = [
     # string-shingle sets with the gate's exact batch/replica
     # construction and arrival-orientation rules, plus planted recall
     "str_index_dedup",
+    # round-7: incremental IVF add — verified below like ann_ivf_query
+    # (NumPy cosines, dense rank order, self-recovery of an ADDED query
+    # vector) plus delta-membership checks
+    "ann_ivf_add",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -212,6 +216,9 @@ def main() -> None:
     verify_streaming_index_dedup()
     print("str_index_dedup: two-batch brute-force re-derivation + "
           "planted recall OK")
+    verify_ann_ivf_add()
+    print("ann_ivf_add: NumPy cosine/self-recovery + delta-membership "
+          "check OK")
 
 
 def _cooccur_adj_mod20():
@@ -390,6 +397,37 @@ def verify_ann_ivf(spark) -> None:
         assert keys == sorted(keys), f"rank order broken for query {q}"
         assert lst[0][2] == q and abs(lst[0][1] - 1.0) <= 1.5e-6, (
             f"query {q} did not recover itself at rank 1: {lst[0]}")
+
+
+def verify_ann_ivf_add() -> None:
+    """Same invariants as verify_ann_ivf — NumPy-exact cosines, dense
+    ranks ordered by (cosine desc, vec_id), rank-1 self-recovery — for
+    the add-path gate, where query 0 is an ADDED (%4==0) vector: its
+    self-recovery proves the delta was assigned to the cell its own
+    query probe looks in. Also requires results to mix added and
+    original vectors (the probe scans one merged store)."""
+    emb = _load_embeddings()
+    names, rows = _oracle_rows("ann_ivf_add")
+    per_q: dict[int, list] = {}
+    for r in rows:
+        q, vid, cos, rank = (
+            int(r[names.index("query_id")]), int(r[names.index("vec_id")]),
+            float(r[names.index("cosine")]), int(r[names.index("rank")]))
+        assert abs(_cos(emb[q], emb[vid]) - cos) <= 1.5e-6, (q, vid, cos)
+        per_q.setdefault(q, []).append((rank, cos, vid))
+    assert set(per_q) == {0, 1, 2}
+    all_vids = set()
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 10
+        keys = [(-c, v) for _, c, v in lst]
+        assert keys == sorted(keys), f"rank order broken for query {q}"
+        assert lst[0][2] == q and abs(lst[0][1] - 1.0) <= 1.5e-6, (
+            f"query {q} did not recover itself at rank 1: {lst[0]}")
+        all_vids.update(v for _, _, v in lst)
+    assert any(v % 4 == 0 for v in all_vids), "no added vectors returned"
+    assert any(v % 4 != 0 for v in all_vids), "no original vectors returned"
 
 
 def verify_streaming_minhash(spark) -> None:

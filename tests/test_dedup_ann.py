@@ -469,3 +469,52 @@ def test_index_partial_probe_prunes_band_partitions(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[[^\]]*band[^\]]*4[^\]]*\]", plan)
     assert pf, plan[:2000]
+
+
+def test_ivf_add_vectors_equals_union_assignment(spark, tmp_path):
+    """ivf_add_vectors must land every delta vector in EXACTLY the cell
+    a same-centroid assignment of the union would choose (no retrain,
+    no drift), and queries over the merged store must recover added
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.ann import (
+        _assign_cells,
+        ivf_add_vectors,
+        ivf_build_index,
+        ivf_load_index,
+        ivf_query,
+        ivf_save_index,
+    )
+
+    base = [(i, [float((i * 7 + j * 3) % 10 + 1) for j in range(6)])
+            for i in range(20)]
+    delta = [(100 + i, [float((i * 5 + j) % 10 + 1) for j in range(6)])
+             for i in range(8)]
+    base_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>")
+    delta_df = spark.createDataFrame(
+        delta, "vec_id long, embedding array<double>")
+    cents, assigned = ivf_build_index(base_df, dim=6, n_cells=4)
+    path = str(tmp_path / "ivf")
+    ivf_save_index(cents, assigned, path)
+    ivf_add_vectors(delta_df, path)
+    cents2, assigned2 = ivf_load_index(spark, path)
+    assert len(cents2) == len(cents)
+    for a, b in zip(cents2, cents):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+    expect = {(r.vec_id, r.cell) for r in _assign_cells(
+        base_df.unionByName(delta_df), cents).collect()}
+    got = {(r.vec_id, r.cell)
+           for r in assigned2.select("vec_id", "cell").collect()}
+    assert got == expect
+    q = delta_df.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = ivf_query(cents2, assigned2, q, k=3, n_probe=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    assert set(by_q) == {100, 101}
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert lst[0][1] == qid and abs(lst[0][2] - 1.0) < 1e-6
