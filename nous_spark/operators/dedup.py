@@ -853,6 +853,42 @@ def update_minhash_index(
         "append").partitionBy("band").parquet(f"{path}/banded")
 
 
+def compact_minhash_index(spark, path: str) -> dict:
+    """Rewrite an incrementally-grown index into its canonical layout:
+    every ``update_minhash_index`` / streaming fold-in appends one file
+    per band (plus one shingle file) per batch, so a month of hourly
+    deltas leaves ~720 files per band partition and the probe's scan
+    degrades to file-listing overhead. Compaction reads each store,
+    pins it in the block store (localCheckpoint — the lineage must not
+    reference the files being overwritten), and rewrites: banded back
+    to one file per band, shingles spread to the session's default
+    parallelism. Run it off the query path on whatever cadence the
+    delta rate demands — the standard LSM-style maintenance trade.
+    Returns {"banded_files_before/after", "shingle_files_before/after"}
+    for the caller's compaction log."""
+    def files_of(df):
+        return df.select(
+            F.input_file_name().alias("f")).distinct().count()
+
+    banded = spark.read.parquet(f"{path}/banded")
+    shingle = spark.read.parquet(f"{path}/shingles")
+    nb, ns = files_of(banded), files_of(shingle)
+    bands = spark.read.parquet(f"{path}/meta").collect()[0].bands
+    b = banded.localCheckpoint(eager=True)
+    s = _spread(shingle).localCheckpoint(eager=True)
+    b.repartition(bands, "band").write.mode("overwrite").partitionBy(
+        "band").parquet(f"{path}/banded")
+    s.write.mode("overwrite").parquet(f"{path}/shingles")
+    return {
+        "banded_files_before": nb,
+        "banded_files_after": files_of(
+            spark.read.parquet(f"{path}/banded")),
+        "shingle_files_before": ns,
+        "shingle_files_after": files_of(
+            spark.read.parquet(f"{path}/shingles")),
+    }
+
+
 def dedup_against_index(
     df: DataFrame,
     path: str,

@@ -518,3 +518,36 @@ def test_ivf_add_vectors_equals_union_assignment(spark, tmp_path):
     for qid, lst in by_q.items():
         lst.sort()
         assert lst[0][1] == qid and abs(lst[0][2] - 1.0) < 1e-6
+
+
+def test_compact_minhash_index(spark, tmp_path):
+    """After several incremental appends, compaction must collapse the
+    banded store to one file per band and leave query results
+    byte-identical."""
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_against_index,
+        update_minhash_index,
+    )
+
+    base = ("red orange yellow green blue indigo violet crimson teal "
+            "amber olive maroon navy coral silver golden bronze pearl")
+    path = str(tmp_path / "idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, base), (2, "unrelated corpus text")],
+                              ["doc_id", "text"]), path)
+    for k in range(3):  # three deltas -> file accumulation
+        update_minhash_index(
+            spark.createDataFrame(
+                [(10 + k, f"{base} tail{k}")], ["doc_id", "text"]), path)
+    probe = spark.createDataFrame([(100, base + " tail0")],
+                                  ["doc_id", "text"])
+    before = {(r.new_id, r.index_id, r.jaccard) for r in
+              dedup_against_index(probe, path, threshold=0.5).collect()}
+    stats = compact_minhash_index(spark, path)
+    assert stats["banded_files_after"] <= 8 < stats["banded_files_before"]
+    assert stats["shingle_files_after"] <= stats["shingle_files_before"]
+    after = {(r.new_id, r.index_id, r.jaccard) for r in
+             dedup_against_index(probe, path, threshold=0.5).collect()}
+    assert after == before and (100, 1) in {(a, b) for a, b, _ in after}
