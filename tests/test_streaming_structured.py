@@ -444,3 +444,38 @@ def test_streaming_index_dedup_incremental(spark, tmp_path):
     ids = {r.id for r in
            spark.read.parquet(f"{idx}/shingles").select("id").collect()}
     assert {1, 2, 10, 11, 20, 21, 22} <= ids
+
+
+def test_streaming_index_dedup_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the drained stream with the SAME checkpoint must be a
+    no-op: no re-emitted pairs, no double-folded index rows — the
+    exactly-once contract the docstring claims."""
+    import os
+
+    from nous_spark.operators.dedup import build_minhash_index
+    from nous_spark.streaming.structured import streaming_index_dedup
+
+    base = ("quick brown fox jumps over the lazy dog beside a quiet "
+            "river bank at dawn while birds sing softly overhead")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]), idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(10, base + " again"), (11, "nothing shared")],
+                          ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(f"{src}/b0")
+    for f in os.listdir(f"{src}/b0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b0/{f}", f"{src}/batch0.parquet")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run: same checkpoint, no new files
+        q = streaming_index_dedup(spark, src, idx, f"{out}/pairs",
+                                  threshold=0.5, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+    pairs = spark.read.parquet(f"{out}/pairs").collect()
+    assert [(r.new_id, r.index_id) for r in pairs] == [(10, 1)]
+    sh_ids = [r.id for r in
+              spark.read.parquet(f"{idx}/shingles").collect()]
+    assert sorted(sh_ids) == [1, 10, 11]  # folded exactly once
