@@ -588,7 +588,10 @@ def _q_a9_semantic_relatedness(spark, sf):  # A9 Milne-Witten relatedness
         F.col("l_suppkey").cast("long").alias("entity_id"),
         F.col("l_partkey").cast("string").alias("nbr_label"),
     )
-    return semantic_relatedness_pairs(nbrs, n_parts)
+    # max_label_df=30 is BINDING at gate scale (sf0.01 label dfs span
+    # 13..41, so the hub-label prune really fires — same discipline as
+    # the g_adamic_adar gate's max_neighbor_degree)
+    return semantic_relatedness_pairs(nbrs, n_parts, max_label_df=30)
 
 
 def _q_w3_argmax_entity(spark, sf):  # W3 argmax candidate per mention
@@ -2432,8 +2435,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nn ON c.entity_id = nn.entity_id
         """,
         "a9_semantic_relatedness": """
-            WITH nb AS (SELECT DISTINCT l_suppkey::BIGINT AS entity_id,
-                                        l_partkey::VARCHAR AS nbr_label FROM lineitem),
+            WITH nb0 AS (SELECT DISTINCT l_suppkey::BIGINT AS entity_id,
+                                         l_partkey::VARCHAR AS nbr_label FROM lineitem),
+            keep AS (SELECT nbr_label FROM nb0 GROUP BY 1 HAVING count(*) <= 30),
+            nb AS (SELECT entity_id, nbr_label FROM nb0 JOIN keep USING (nbr_label)),
             sz AS (SELECT entity_id, count(*) AS sz FROM nb GROUP BY 1),
             cm AS (SELECT x.entity_id AS e1, y.entity_id AS e2, count(*) AS common
                    FROM nb x JOIN nb y

@@ -357,7 +357,8 @@ def context_scores(
 
 
 def semantic_relatedness_pairs(
-    nbrs: DataFrame, n_graph_vertices: int
+    nbrs: DataFrame, n_graph_vertices: int,
+    max_label_df: int | None = None,
 ) -> DataFrame:
     """A9 (getSemanticRelatedness, CollectiveEntityDisScores.scala:60-101;
     Milne-Witten) as a distributed inverted-index plan — never all-pairs:
@@ -371,14 +372,37 @@ def semantic_relatedness_pairs(
 
     nbrs(entity_id, nbr_label) → (e1, e2, relatedness).
 
+    Scale shape: a label shared by k entities generates k·(k-1)/2
+    candidate pairs in the label-keyed self-join BEFORE any score filter
+    can discard them — the same hub hazard as any common-neighbor method
+    (a real KG's head label, "person"/"USA", is shared by millions of
+    entities → a 10¹²-pair skewed stage). ``max_label_df`` drops labels
+    with document frequency above the cap before the join, exactly as
+    ``adamic_adar_scores``'s ``max_neighbor_degree``: a label shared by
+    k of N entities carries ln(N/k) bits of association evidence — the
+    idf argument every inverted-index relatedness system applies — so
+    past the cap it contributes ~zero Milne-Witten signal at quadratic
+    cost. Sizes |A| and the pair counts are both computed on the pruned
+    index (relatedness over the informative-label sub-bipartite-graph),
+    keeping the measure internally consistent; candidate volume becomes
+    Σ_label min(df, cap)² — linear in the index for fixed cap.
+
     The deduplicated index feeds three join arms (both self-join sides +
     the size aggregate), so it is materialized once — same audit finding
     as context_scores; output volume (common-neighbor pairs) remains the
     honest cost driver."""
     import math
 
-    n = nbrs.select("entity_id", "nbr_label").distinct() \
-        .localCheckpoint(eager=True)
+    n = nbrs.select("entity_id", "nbr_label").distinct()
+    if max_label_df is not None:
+        keep = (
+            n.groupBy("nbr_label")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_label_df)
+            .select("nbr_label")
+        )
+        n = n.join(keep, "nbr_label", "left_semi")
+    n = n.localCheckpoint(eager=True)
     sizes = n.groupBy("entity_id").agg(F.count("*").alias("sz"))
     common = (
         n.alias("x")

@@ -233,3 +233,31 @@ def test_adamic_adar_cap_bounds_hub_pairs(spark):
     rows = out.collect()
     # only the side wedge survives: (100001, 100003) through 100002
     assert {(r.x, r.y) for r in rows} == {(100_001, 100_003)}, rows
+
+
+def test_semantic_relatedness_label_df_cap_bounds_pairs(spark):
+    """max_label_df must bound the label-keyed self-join's candidate
+    generation: a hub label shared by 200 entities yields C(200,2) ≈
+    2*10^4 pairs uncapped (10^12 on a real KG's "person" label); with
+    the hub label pruned at df > cap, only pairs through informative
+    (low-df) labels survive — and their scores are computed on the
+    pruned index, so the hub contributes neither pairs nor |A| mass."""
+    from pyspark.sql import functions as F
+
+    from nous_spark.operators.linking import semantic_relatedness_pairs
+
+    hub = spark.range(1, 201).select(
+        F.col("id").alias("entity_id"), F.lit("HUB").alias("nbr_label"))
+    # entities 1..4 also share two informative labels pairwise
+    side = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (1, "c"), (2, "c")],
+        ["entity_id", "nbr_label"],
+    ).select("entity_id", "nbr_label")
+    nbrs = hub.unionByName(side)
+    capped = semantic_relatedness_pairs(nbrs, 1000, max_label_df=10)
+    rows = capped.collect()
+    # only the informative-label pairs remain: (1,2) via {a,c}, (3,4)
+    # via {b}; the 19.9k hub-only pairs are never generated
+    assert {(r.e1, r.e2) for r in rows} == {(1, 2), (3, 4)}, rows
+    uncapped = semantic_relatedness_pairs(nbrs, 1000)
+    assert uncapped.count() > 15_000  # the blowup the cap exists to kill
