@@ -1395,7 +1395,10 @@ def _q_substring_spans(spark, sf):  # exact repeated-span (boilerplate) dedup
         )
         .otherwise(F.col("text"))
     )
-    return duplicate_spans(docs.withColumn("text", planted), k=13).select(
+    # broadcast_vocab opted IN here: gate/bench scale has a known-small
+    # duplicated vocabulary (the measured 15% win, BENCH_span_broadcast)
+    return duplicate_spans(docs.withColumn("text", planted), k=13,
+                           broadcast_vocab=True).select(
         "doc_id", "span_start", "span_end", "n_span_tokens", "span_text"
     )
 

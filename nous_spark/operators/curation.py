@@ -81,14 +81,13 @@ def clean_corpus(
     # sf0.1). Spread BELOW-parallelism inputs once, before the signal
     # scan; a web-scale input already has >= cluster-parallelism
     # partitions, so this is a no-op there and costs nothing
-    if min_parallelism == "auto":
-        min_parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
-        # checkpoint, not just repartition: Catalyst pushes projections
-        # below a round-robin exchange, so a bare repartition still runs
-        # the signal expressions in the pre-shuffle single task (measured
-        # 19 s vs 3 s at sf0.1) — the barrier pins the spread
-        docs = docs.repartition(min_parallelism).localCheckpoint(eager=True)
+    # (checkpoint, not just repartition: Catalyst pushes projections
+    # below a round-robin exchange, so a bare repartition still runs
+    # the signal expressions in the pre-shuffle single task — measured
+    # 19 s vs 3 s at sf0.1; _spread pins the barrier and probes the
+    # partition count via inputFiles(), never an RDD conversion)
+    from nous_spark.operators.dedup import _spread
+    docs = _spread(docs, min_parallelism)
     src = quality_scores(docs, text_col) if min_quality_prob is not None \
         else docs
     d = token_counts(

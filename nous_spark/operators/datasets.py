@@ -151,7 +151,11 @@ def mixture_sample(
         .agg(F.count("*").alias("__n"))
         .withColumn("__share", shares[F.col(source_col)])
         .withColumn(
-            "__t_cap", F.floor(F.col("__n") * F.lit(_PPM) / F.col("__share"))
+            # decimal product: bigint n * 1e6 wraps silently past ~9.2e12
+            # rows (see token_budget_plan — same ppm-arithmetic hazard)
+            "__t_cap",
+            F.floor(F.col("__n").cast("decimal(38,0)") * F.lit(_PPM)
+                    / F.col("__share")).cast("decimal(38,0)"),
         )
     )
     # T = min cap over sources; keep the per-source rows via a windowless
@@ -161,7 +165,8 @@ def mixture_sample(
         counts.crossJoin(F.broadcast(t_total))
         .withColumn(
             "accept_ppm",
-            F.floor(F.col("__share") * F.col("__t") / F.col("__n"))
+            F.floor(F.col("__share").cast("decimal(38,0)") * F.col("__t")
+                    / F.col("__n"))
             .cast("long"),
         )
         .select(source_col, "accept_ppm")
@@ -286,8 +291,12 @@ def token_budget_plan(
     the realized budget is ``B = min(token_budget, min_s floor(avail_s *
     1e6 / share_s))`` — the binding source (or the requested budget)
     caps the whole mixture, preserving the SHARES rather than silently
-    skewing toward abundant sources. All arithmetic is integer (ppm),
-    so the Spark plan and the DuckDB oracle are bit-identical.
+    skewing toward abundant sources. All arithmetic is integer, with
+    the two ppm PRODUCTS computed in decimal(38,0): avail * 1e6 wraps
+    silently in (non-ANSI) bigint once a source holds > ~9.2e12 tokens
+    — squarely below the 100 TB design point — and a wrapped __b_cap
+    corrupts B and every accept_ppm downstream. Decimal keeps the plan
+    and the DuckDB oracle (int128 there) bit-identical at any scale.
 
     Emits one row per target source: (source, available_tokens,
     target_share_ppm, target_tokens, accept_ppm, binding). ``binding``
@@ -317,12 +326,14 @@ def token_budget_plan(
                     shares[F.col(source_col)].cast("long"))
         .withColumn(
             "__b_cap",
-            F.floor(F.col("available_tokens") * F.lit(_PPM)
-                    / F.col("target_share_ppm")).cast("long"),
+            F.floor(F.col("available_tokens").cast("decimal(38,0)")
+                    * F.lit(_PPM) / F.col("target_share_ppm"))
+            .cast("decimal(38,0)"),
         )
     )
     b = inv.agg(
-        F.least(F.min("__b_cap"), F.lit(int(token_budget)).cast("long"))
+        F.least(F.min("__b_cap"),
+                F.lit(int(token_budget)).cast("decimal(38,0)"))
         .alias("__b")
     )
     return (
@@ -335,9 +346,9 @@ def token_budget_plan(
         .withColumn(
             "accept_ppm",
             F.least(
-                F.floor(F.col("target_tokens") * F.lit(_PPM)
-                        / F.col("available_tokens")),
-                F.lit(_PPM),
+                F.floor(F.col("target_tokens").cast("decimal(38,0)")
+                        * F.lit(_PPM) / F.col("available_tokens")),
+                F.lit(_PPM).cast("decimal(38,0)"),
             ).cast("long"),
         )
         .withColumn("binding", F.col("__b_cap") == F.col("__b"))

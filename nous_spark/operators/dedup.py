@@ -27,12 +27,23 @@ def _spread(df: DataFrame, min_parallelism: int | str = "auto") -> DataFrame:
     than cores => a few scan splits at most).
 
     Streaming frames pass through untouched: partitioning there is the
-    source's trigger batching, and ``.rdd`` is illegal on them anyway."""
+    source's trigger batching.
+
+    The trigger reads ``df.inputFiles()`` (a driver-side file-listing
+    off the analyzed plan), NOT ``df.rdd.getNumPartitions()`` — the RDD
+    probe forces a full Python-RDD conversion plan per call, the same
+    Python-runner machinery whose ~5 s spin-up was measured and excised
+    from the index meta write (the "coalesce tax"). File count is the
+    right proxy for the case this guard exists for: a small input is
+    scanned as ≥ its file count only when files exceed
+    maxPartitionBytes, and a file-less frame (createDataFrame /
+    in-memory) is by construction driver-resident and small, so both
+    sides of the heuristic err toward spreading cheap inputs."""
     if df.isStreaming:
         return df
     if min_parallelism == "auto":
         min_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+    if min_parallelism and len(df.inputFiles()) < min_parallelism:
         return df.repartition(min_parallelism).localCheckpoint(eager=True)
     return df
 
@@ -495,7 +506,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 13,
     min_docs: int = 2,
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Exact cross-document repeated-SPAN detection — the
     boilerplate-stripping pass (nav bars, footers, license blocks) that
@@ -512,12 +523,14 @@ def duplicate_spans(
       1. positional k-gram hashes via transform+posexplode: (id, pos, h)
       2. groupBy h, count_distinct(id) >= min_docs — the duplicated
          shingle VOCABULARY, tiny next to the corpus at real dup rates
-      3. join the positions back on h — the vocab is broadcast
-         EXPLICITLY by default (measured 15% faster end-to-end at
-         sf0.1 than leaving it to AQE: the probe side then streams
-         against the hash map with no h-shuffle of the full positional
-         stream); pass ``broadcast_vocab=False`` for a pathological
-         corpus whose duplicated vocabulary is too big to broadcast
+      3. join the positions back on h. ``broadcast_vocab=True`` forces
+         the vocab broadcast (measured 15% faster end-to-end at sf0.1:
+         the probe side streams against the hash map with no h-shuffle
+         of the full positional stream) — but the duplicated vocabulary
+         scales with corpus DUPLICATION, unbounded at web scale, so the
+         default leaves the join to AQE, which broadcasts when the
+         runtime size statistics say it fits and degrades gracefully
+         when they don't; opt in only with a known-bounded corpus
       4. per-doc gaps-and-islands over duplicated positions
          (pos - row_number, partitioned by doc — each task holds only
          one doc's OWN duplicated positions, never a cluster of docs)
@@ -659,13 +672,14 @@ def cross_source_duplication(
     df: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cross-source exact-duplication matrix: for every pair of sources,
     how many distinct contents appear in BOTH — the provenance
     diagnostic behind "is this partner feed just a re-crawl of the web
     dump?". Run before mixture planning: a source pair with high overlap
-    double-counts its weight in any token-budget recipe.
+    double-counts its weight in any token-budget recipe. Purely
+    content-hash based — per-doc identity is irrelevant (no id column
+    in the signature on purpose).
 
     Plan: one md5 groupBy to (hash, source-set), then per-hash source
     pairs from the collected DISTINCT source set — bounded by the number
@@ -794,16 +808,22 @@ def build_minhash_index(
     the only affordable one (a daily 1% delta must not cost a full
     corpus pass). Layout:
 
-    - ``{path}/banded`` — (id, band_hash) partitioned BY BAND. A full
-      probe touches every band (the querying batch carries all bands,
-      so nothing prunes); the layout pays off through
-      ``dedup_against_index(bands_to_probe=B)``, whose ``band < B``
-      predicate prunes the unprobed bands at the file level (the same
-      partition-pruning trade as the IVF index, plan-asserted in
-      tests), and by allowing band-sliced compaction/processing.
-    - ``{path}/shingles`` — (id, shingle_hashes) for exact-Jaccard
-      verification of candidates; storage trades for recompute, which is
-      the point of an index.
+    - ``{path}/banded`` — (id, band_hash) partitioned BY BAND and by a
+      second ``seg`` level (``seg=base`` for builds/compactions, one seg
+      per appended delta). A full probe touches every band (the querying
+      batch carries all bands, so nothing prunes); the layout pays off
+      through ``dedup_against_index(bands_to_probe=B)``, whose ``band <
+      B`` predicate prunes the unprobed bands at the file level (the
+      same partition-pruning trade as the IVF index, plan-asserted in
+      tests), and by allowing band-sliced compaction/processing. The
+      ``seg`` level is what makes incremental folds IDEMPOTENT: a
+      writer that knows its segment id (the streaming fold-in keys it
+      by batch id) replaces its own segment with dynamic partition
+      overwrite instead of blind-appending, so a replayed batch cannot
+      duplicate index rows.
+    - ``{path}/shingles`` — (id, shingle_hashes) partitioned by the same
+      ``seg``, for exact-Jaccard verification of candidates; storage
+      trades for recompute, which is the point of an index.
     - ``{path}/meta`` — one row pinning (n, num_hashes, bands) so a
       querying batch cannot silently hash with drifted parameters.
 
@@ -822,11 +842,12 @@ def build_minhash_index(
     """
     spark = df.sparkSession
     sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.withColumn("seg", F.lit("base")).write.mode(
+        "overwrite").partitionBy("seg").parquet(f"{path}/shingles")
     sig = minhash_signatures(sh, num_hashes)
-    _banded(sig, bands, num_hashes // bands).repartition(
-        bands, "band").write.mode(
-        "overwrite").partitionBy("band").parquet(f"{path}/banded")
+    _banded(sig, bands, num_hashes // bands).withColumn(
+        "seg", F.lit("base")).repartition(bands, "band").write.mode(
+        "overwrite").partitionBy("band", "seg").parquet(f"{path}/banded")
     spark.range(1).select(
         F.lit(int(n)).alias("n"),
         F.lit(int(num_hashes)).alias("num_hashes"),
@@ -839,46 +860,90 @@ def update_minhash_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seg: str | None = None,
 ) -> None:
-    """Append a new batch to an existing index (same parameter pinning —
-    read from ``{path}/meta``). Caller guarantees ids are new."""
+    """Fold a new batch into an existing index (same parameter pinning —
+    read from ``{path}/meta``). Caller guarantees ids are new.
+
+    ``seg`` names the delta's segment partition. A caller that supplies
+    a STABLE id for the delta (its batch/run id) gets an idempotent
+    fold: the write replaces ``seg=<id>`` with dynamic partition
+    overwrite, so a retried job updates in place instead of
+    duplicating. Default (None) generates a fresh segment, i.e. plain
+    append semantics for fire-and-forget callers."""
+    import uuid
+
     spark = df.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
+    seg = seg if seg is not None else f"u{uuid.uuid4().hex[:12]}"
     # same checkpoint-once discipline as build
     sh = shingles(df, text_col, id_col, m.n).localCheckpoint(eager=True)
-    sh.write.mode("append").parquet(f"{path}/shingles")
+    sh.withColumn("seg", F.lit(seg)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic").partitionBy("seg").parquet(
+        f"{path}/shingles")
     sig = minhash_signatures(sh, m.num_hashes)
-    _banded(sig, m.bands, m.num_hashes // m.bands).repartition(
-        m.bands, "band").write.mode(
-        "append").partitionBy("band").parquet(f"{path}/banded")
+    _banded(sig, m.bands, m.num_hashes // m.bands).withColumn(
+        "seg", F.lit(seg)).repartition(m.bands, "band").write.mode(
+        "overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+        "band", "seg").parquet(f"{path}/banded")
 
 
-def compact_minhash_index(spark, path: str) -> dict:
+def compact_minhash_index(spark, path: str,
+                          exclude_segs: tuple[str, ...] = ()) -> dict:
     """Rewrite an incrementally-grown index into its canonical layout:
-    every ``update_minhash_index`` / streaming fold-in appends one file
-    per band (plus one shingle file) per batch, so a month of hourly
+    every ``update_minhash_index`` / streaming fold-in adds one file per
+    band (plus one shingle file) per delta segment, so a month of hourly
     deltas leaves ~720 files per band partition and the probe's scan
-    degrades to file-listing overhead. Compaction reads each store,
-    pins it in the block store (localCheckpoint — the lineage must not
-    reference the files being overwritten), and rewrites: banded back
-    to one file per band, shingles spread to the session's default
-    parallelism. Run it off the query path on whatever cadence the
-    delta rate demands — the standard LSM-style maintenance trade.
+    degrades to file-listing overhead. Compaction folds every segment
+    into ``seg=base`` — one file per band again — the standard LSM-style
+    maintenance trade, run off the query path on whatever cadence the
+    delta rate demands.
+
+    Crash-safety: the compacted stores are written to SIBLING temp dirs
+    first (the live index stays the lineage source and stays intact if
+    the rewrite dies mid-write), then swapped in with a delete+rename.
+    Only the swap itself is a non-atomic window; a crash inside it needs
+    the temp dir manually renamed back — narrow and inspectable, unlike
+    the previous overwrite-in-place (which held the only copy in the
+    session's block store mid-rewrite).
+
+    ``exclude_segs`` keeps the named segments OUT of the fold, preserved
+    under their own seg partitions — the streaming auto-compaction uses
+    it to avoid folding a possibly-torn in-flight batch into ``base``
+    (where its replay could no longer replace it).
+
     Returns {"banded_files_before/after", "shingle_files_before/after"}
     for the caller's compaction log."""
     def files_of(df):
         return df.select(
             F.input_file_name().alias("f")).distinct().count()
 
+    def swap(tmp, live):
+        jvm = spark._jvm
+        p_live = jvm.org.apache.hadoop.fs.Path(live)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_live.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p_live, True)
+        if not fs.rename(p_tmp, p_live):
+            raise IOError(f"compaction swap failed: {tmp} -> {live}")
+
     banded = spark.read.parquet(f"{path}/banded")
     shingle = spark.read.parquet(f"{path}/shingles")
     nb, ns = files_of(banded), files_of(shingle)
     bands = spark.read.parquet(f"{path}/meta").collect()[0].bands
-    b = banded.localCheckpoint(eager=True)
-    s = _spread(shingle).localCheckpoint(eager=True)
-    b.repartition(bands, "band").write.mode("overwrite").partitionBy(
-        "band").parquet(f"{path}/banded")
-    s.write.mode("overwrite").parquet(f"{path}/shingles")
+    if exclude_segs:
+        seg_out = F.when(F.col("seg").isin(*exclude_segs),
+                         F.col("seg")).otherwise(F.lit("base"))
+    else:
+        seg_out = F.lit("base")
+    banded.withColumn("seg", seg_out).repartition(
+        bands, "band").write.mode("overwrite").partitionBy(
+        "band", "seg").parquet(f"{path}/banded_compact_tmp")
+    _spread(shingle.withColumn("seg", seg_out)).write.mode(
+        "overwrite").partitionBy("seg").parquet(
+        f"{path}/shingles_compact_tmp")
+    swap(f"{path}/banded_compact_tmp", f"{path}/banded")
+    swap(f"{path}/shingles_compact_tmp", f"{path}/shingles")
     return {
         "banded_files_before": nb,
         "banded_files_after": files_of(

@@ -513,6 +513,7 @@ def streaming_index_dedup(
     within_batch: bool = True,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
+    compact_every_n_batches: int | None = None,
 ):
     """Continuous incremental near-dedup of an ingest stream against the
     persisted MinHash index (operators/dedup.py::build_minhash_index) —
@@ -529,19 +530,35 @@ def streaming_index_dedup(
          survive) via the same banded self-join, with the index's pinned
          (n, num_hashes, bands) parameters; emitted in arrival
          convention: later id as ``new_id``, earlier as ``index_id``.
-      3. append pairs to ``{out_dir}`` parquet.
-      4. ``update_index=True`` folds the batch into the index, so batch
-         k+1 dedups against corpus ∪ batches 1..k.
+      3. write pairs under ``{out_dir}/batch_id=<k>``.
+      4. ``update_index=True`` folds the batch into the index under
+         segment ``seg=b<k>``, so batch k+1 dedups against corpus ∪
+         batches 1..k.
 
     Net contract over a drained stream: the sink holds EXACTLY the pairs
     (a, b, jaccard >= threshold) where b is a streamed doc and a precedes
     it (in the index, an earlier batch, or the same batch with a smaller
     id) — i.e. every pair the batch pipeline would find on the union
     corpus that involves at least one streamed doc (pinned in the
-    VALUES-oracle verifier + pytest). Exactly-once via the streaming
-    checkpoint; the index append in (4) is idempotent only per-batch-id,
-    so a mid-batch crash re-runs the whole batch (parquet append + the
-    checkpoint barrier make the re-run observationally identical).
+    VALUES-oracle verifier + pytest).
+
+    Effectively-once under replay: every write is keyed by the batch id
+    and REPLACES its own partition with dynamic partition overwrite —
+    pairs land under ``batch_id=<k>``, the index fold under ``seg=b<k>``
+    — and the probe reads the index THROUGH a ``seg != b<k>`` filter, so
+    a batch replayed after a mid-batch crash (pairs written but the fold
+    or the checkpoint commit torn) recomputes against exactly the
+    pre-batch index state and overwrites, never duplicates, its own
+    output (pinned by the torn-batch replay test). The deterministic
+    pipeline makes the replacement byte-stable.
+
+    ``compact_every_n_batches=n`` folds the accumulated delta segments
+    into ``seg=base`` at the START of every n-th batch (off the probe
+    path), bounding index file count at ~1 file/band/segment × n instead
+    of growing one segment per batch forever. The current batch's own
+    (possibly torn, uncommitted) segment is excluded from the fold so
+    its replay can still replace it; compaction itself is an idempotent
+    full rewrite (temp-dir + swap, see compact_minhash_index).
 
     Returns the started StreamingQuery.
 
@@ -561,6 +578,63 @@ def streaming_index_dedup(
 
     checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
     m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _index_dedup_batch(
+            spark, batch_df, batch_id, index_path, out_dir, m,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+            update_index=update_index, within_batch=within_batch,
+            compact_every_n_batches=compact_every_n_batches,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _index_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_dir: str,
+    m,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    update_index: bool = True,
+    within_batch: bool = True,
+    compact_every_n_batches: int | None = None,
+) -> None:
+    """One microbatch of ``streaming_index_dedup``, module-level so the
+    torn-batch fault-injection test can run an attempt DIRECTLY (all
+    writes land, no checkpoint commit) and then let the stream replay
+    it. Every write is keyed by ``batch_id`` and replaces its own
+    partition (dynamic overwrite); the probe excludes the batch's own
+    ``seg`` so a replay recomputes against the pre-batch index state —
+    together these make a replayed batch a byte-stable overwrite."""
+    from nous_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+        shingles,
+    )
+
+    if batch_df.isEmpty():
+        return
+    seg = f"b{batch_id}"
+    if (compact_every_n_batches and batch_id > 0
+            and batch_id % compact_every_n_batches == 0):
+        # off the probe path; exclude this batch's own segment (a torn
+        # previous attempt may have written it) so the replay below can
+        # still replace it wholesale
+        from nous_spark.operators.dedup import compact_minhash_index
+        compact_minhash_index(spark, index_path, exclude_segs=(seg,))
 
     def _verify(cand, sh_map, new_col, pred_col, pred_sh):
         return (
@@ -582,52 +656,49 @@ def streaming_index_dedup(
                     F.col(pred_col).alias("index_id"), "jaccard")
         )
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sh = shingles(batch_df, text_col, id_col, m.n) \
-            .localCheckpoint(eager=True)
-        sig = minhash_signatures(sh, m.num_hashes)
-        banded = _banded(sig, m.bands, m.num_hashes // m.bands) \
-            .localCheckpoint(eager=True)
-        banded_old = spark.read.parquet(f"{index_path}/banded")
-        cand_idx = (
-            banded.alias("l").join(banded_old.alias("r"),
+    sh = shingles(batch_df, text_col, id_col, m.n) \
+        .localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, m.num_hashes)
+    banded = _banded(sig, m.bands, m.num_hashes // m.bands) \
+        .localCheckpoint(eager=True)
+    # seg filter: a replayed batch must probe the PRE-batch index state,
+    # not its own half-folded delta (which would self-match every doc
+    # at jaccard 1.0)
+    banded_old = spark.read.parquet(f"{index_path}/banded") \
+        .filter(F.col("seg") != seg)
+    cand_idx = (
+        banded.alias("l").join(banded_old.alias("r"),
+                               ["band", "band_hash"])
+        .select(F.col("l.id").alias("new_id"),
+                F.col("r.id").alias("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sh_old = spark.read.parquet(f"{index_path}/shingles") \
+        .filter(F.col("seg") != seg).select(
+        F.col("id").alias("index_id"),
+        F.col("shingle_hashes").alias("sh_b"))
+    pairs = _verify(cand_idx, sh, "new_id", "index_id", sh_old)
+    if within_batch:
+        cand_in = (
+            banded.alias("l").join(banded.alias("r"),
                                    ["band", "band_hash"])
-            .select(F.col("l.id").alias("new_id"),
-                    F.col("r.id").alias("index_id"))
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("r.id").alias("new_id"),
+                    F.col("l.id").alias("index_id"))
             .dropDuplicates(["new_id", "index_id"])
         )
-        sh_old = spark.read.parquet(f"{index_path}/shingles").select(
-            F.col("id").alias("index_id"),
-            F.col("shingle_hashes").alias("sh_b"))
-        pairs = _verify(cand_idx, sh, "new_id", "index_id", sh_old)
-        if within_batch:
-            cand_in = (
-                banded.alias("l").join(banded.alias("r"),
-                                       ["band", "band_hash"])
-                .filter(F.col("l.id") < F.col("r.id"))
-                .select(F.col("r.id").alias("new_id"),
-                        F.col("l.id").alias("index_id"))
-                .dropDuplicates(["new_id", "index_id"])
-            )
-            pairs = pairs.unionByName(_verify(
-                cand_in, sh, "new_id", "index_id",
-                sh.select(F.col("id").alias("index_id"),
-                          F.col("shingle_hashes").alias("sh_b"))))
-        pairs.write.mode("append").parquet(out_dir)
-        if update_index:
-            sh.write.mode("append").parquet(f"{index_path}/shingles")
-            banded.repartition(m.bands, "band").write.mode(
-                "append").partitionBy("band").parquet(
-                f"{index_path}/banded")
-
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+        pairs = pairs.unionByName(_verify(
+            cand_in, sh, "new_id", "index_id",
+            sh.select(F.col("id").alias("index_id"),
+                      F.col("shingle_hashes").alias("sh_b"))))
+    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("batch_id").parquet(out_dir)
+    if update_index:
+        sh.withColumn("seg", F.lit(seg)).write.mode(
+            "overwrite").option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("seg").parquet(f"{index_path}/shingles")
+        banded.withColumn("seg", F.lit(seg)).repartition(
+            m.bands, "band").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic").partitionBy(
+            "band", "seg").parquet(f"{index_path}/banded")

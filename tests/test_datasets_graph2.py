@@ -732,3 +732,33 @@ def test_sample_token_budget_hits_target(spark):
                sample_token_budget(df.repartition(13), shares, budget)
                .collect())
     assert a == b
+
+
+def test_token_budget_plan_survives_petascale_inventories(spark):
+    """The ppm products run in decimal(38,0): a source holding more
+    tokens than bigint/1e6 (~9.2e12 — well below the 100 TB design
+    point) must yield exact caps, not silently-wrapped garbage. With
+    web=2e13 tokens @ 800k ppm the web source's cap (2.5e13) exceeds
+    the requested budget, so the budget binds and every number is
+    checkable by hand."""
+    from nous_spark.operators.datasets import token_budget_plan
+
+    rows = [("web", 20_000_000_000_000), ("code", 8_000_000_000_000)]
+    df = spark.createDataFrame(rows, ["source", "n_tokens"])
+    budget = 10_000_000_000_000  # 10T tokens
+    plan = {r["source"]: r.asDict() for r in token_budget_plan(
+        df, {"web": 800_000, "code": 200_000}, budget).collect()}
+    # caps: web 2e13*1e6/8e5 = 2.5e13, code 8e12*1e6/2e5 = 4e13 — the
+    # requested 1e13 budget binds (neither source flagged binding)
+    assert plan["web"]["target_tokens"] == 8_000_000_000_000
+    assert plan["code"]["target_tokens"] == 2_000_000_000_000
+    assert plan["web"]["accept_ppm"] == 400_000
+    assert plan["code"]["accept_ppm"] == 250_000
+    assert not plan["web"]["binding"] and not plan["code"]["binding"]
+    # and a genuinely binding scarce source still computes exactly:
+    # code cap = floor(8e12 * 1e6 / 9e5) = 8_888_888_888_888 binds the
+    # huge requested budget; target = floor(cap * 0.9)
+    plan2 = {r["source"]: r.asDict() for r in token_budget_plan(
+        df, {"code": 900_000}, 10_000_000_000_000_000).collect()}
+    assert plan2["code"]["binding"]
+    assert plan2["code"]["target_tokens"] == 7_999_999_999_999

@@ -479,3 +479,139 @@ def test_streaming_index_dedup_restart_is_exactly_once(spark, tmp_path):
     sh_ids = [r.id for r in
               spark.read.parquet(f"{idx}/shingles").collect()]
     assert sorted(sh_ids) == [1, 10, 11]  # folded exactly once
+
+
+def test_streaming_index_dedup_torn_batch_replay_is_idempotent(
+        spark, tmp_path):
+    """The mid-batch crash window: all of a batch's writes landed (pairs
+    AND index fold) but the checkpoint commit never did, so restart
+    REPLAYS the batch. Simulated by running the batch worker DIRECTLY
+    (same writes, no commit) and then letting the stream process the
+    same file as its batch 0. The replay must (a) not duplicate sink
+    pairs, (b) not double-fold shingle/banded rows, and (c) not
+    self-match the batch against its own half-folded index segment (no
+    id==id jaccard-1.0 rows) — the seg != b<k> probe filter plus
+    dynamic partition overwrite on batch_id/seg are what make it an
+    overwrite instead of an append."""
+    import os
+
+    from nous_spark.operators.dedup import build_minhash_index
+    from nous_spark.streaming.structured import (
+        _index_dedup_batch,
+        streaming_index_dedup,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]), idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(10, base + " phi"), (11, "standalone filler nothing shared"),
+         (12, base + " phi")],  # 12 ~ 10: within-batch arm too
+        ["doc_id", "text"])
+    batch.coalesce(1).write.parquet(f"{src}/b0")
+    for f in os.listdir(f"{src}/b0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b0/{f}", f"{src}/batch0.parquet")
+    out = str(tmp_path / "out")
+    # torn attempt: batch 0's full write set lands, no checkpoint commit
+    m = spark.read.parquet(f"{idx}/meta").collect()[0]
+    _index_dedup_batch(spark, batch, 0, idx, f"{out}/pairs", m,
+                       threshold=0.5)
+    torn = sorted((r.new_id, r.index_id, r.jaccard) for r in
+                  spark.read.parquet(f"{out}/pairs")
+                  .select("new_id", "index_id", "jaccard").collect())
+    assert {(a, b) for a, b, _ in torn} >= {(10, 1), (12, 10)}
+    # fresh checkpoint: the stream replays the same file as batch 0
+    q = streaming_index_dedup(spark, src, idx, f"{out}/pairs",
+                              threshold=0.5,
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    q.stop()
+    replay = sorted((r.new_id, r.index_id, r.jaccard) for r in
+                    spark.read.parquet(f"{out}/pairs")
+                    .select("new_id", "index_id", "jaccard").collect())
+    assert replay == torn  # overwrite, not append
+    assert all(a != b for a, b, _ in replay)  # no self-matches
+    sh = spark.read.parquet(f"{idx}/shingles").select("id").collect()
+    assert sorted(r.id for r in sh) == [1, 10, 11, 12]  # folded once
+    banded = spark.read.parquet(f"{idx}/banded")
+    dup_banded = (banded.groupBy("id", "band").count()
+                  .filter("count > 1").count())
+    assert dup_banded == 0  # no double-folded banded rows
+
+
+
+def test_streaming_index_dedup_auto_compaction(spark, tmp_path):
+    """compact_every_n_batches must bound index file growth without
+    changing results: a 4-batch stream with n=2 ends with the pre-batch
+    segments folded into seg=base, the SAME sink pairs as an
+    uncompacted run, and a final off-path compaction collapses the
+    banded store to one file per band with byte-identical probes."""
+    import os
+
+    from nous_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_against_index,
+    )
+    from nous_spark.streaming.structured import streaming_index_dedup
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen")
+    corpus = [(1, base), (2, "unrelated corpus filler text entirely")]
+
+    def run(idx, out, ckpt, n):
+        build_minhash_index(
+            spark.createDataFrame(corpus, ["doc_id", "text"]), idx)
+        src = str(tmp_path / f"src{n or 0}")
+        os.makedirs(src)
+        batches = [[(10, base + " tail0"), (11, "filler a")],
+                   [(20, base + " tail1")],
+                   [(30, base + " tail0"), (31, "filler b")],
+                   [(40, base + " tail1 extra")]]
+        for i, rows in enumerate(batches):
+            d = f"{src}/b{i}"
+            spark.createDataFrame(rows, ["doc_id", "text"]) \
+                .coalesce(1).write.parquet(d)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    os.rename(f"{d}/{f}", f"{src}/batch{i}.parquet")
+                    os.utime(f"{src}/batch{i}.parquet",
+                             (1_000_000 + i, 1_000_000 + i))
+        q = streaming_index_dedup(spark, src, idx, out, threshold=0.5,
+                                  checkpoint_dir=ckpt,
+                                  compact_every_n_batches=n)
+        assert q.awaitTermination(180)
+        q.stop()
+        return sorted((r.new_id, r.index_id, r.jaccard) for r in
+                      spark.read.parquet(out)
+                      .select("new_id", "index_id", "jaccard").collect())
+
+    idx_c = str(tmp_path / "idx_c")
+    got = run(idx_c, str(tmp_path / "out_c"), str(tmp_path / "ck_c"), 2)
+    idx_p = str(tmp_path / "idx_p")
+    plain = run(idx_p, str(tmp_path / "out_p"), str(tmp_path / "ck_p"),
+                None)
+    assert got == plain and len(got) >= 4
+    # the in-stream compaction (start of batch 2) folded base+b0+b1;
+    # segments from batch 2 on remain their own partitions
+    segs = {d for d in os.listdir(f"{idx_c}/shingles")
+            if d.startswith("seg=")}
+    assert segs == {"seg=base", "seg=b2", "seg=b3"}, segs
+    probe = spark.createDataFrame([(100, base + " tail0")],
+                                  ["doc_id", "text"])
+    before = sorted((r.new_id, r.index_id, r.jaccard) for r in
+                    dedup_against_index(probe, idx_c, threshold=0.5)
+                    .collect())
+    stats = compact_minhash_index(spark, idx_c)
+    bands = spark.read.parquet(f"{idx_c}/meta").collect()[0].bands
+    assert stats["banded_files_after"] <= bands
+    after = sorted((r.new_id, r.index_id, r.jaccard) for r in
+                   dedup_against_index(probe, idx_c, threshold=0.5)
+                   .collect())
+    assert after == before and {(a, b) for a, b, _ in after} >= {
+        (100, 10), (100, 30)}
