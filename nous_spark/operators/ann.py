@@ -363,7 +363,7 @@ def _assign_cells(vectors: DataFrame, cents: list[list[float]],
 
 def ivf_add_vectors(new_vectors: DataFrame, path: str,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding") -> dict:
     """Fold a new vector batch into a SAVED IVF index without
     retraining — the embedding-side twin of ``update_minhash_index``:
     at 100 TB a daily embedding delta must not re-run kmeans or rewrite
@@ -372,14 +372,43 @@ def ivf_add_vectors(new_vectors: DataFrame, path: str,
     exactly the cell a query probe will look in) and appended to the
     by-cell partitioned store, repartitioned onto the cell key first so
     each delta adds one file per cell instead of tasks×cells fragments.
+
     Centroid drift is the caller's trade: periodically rebuild with
     ``ivf_build_index`` when recall degrades (the standard IVF
-    operational pattern). Caller guarantees ids are new."""
+    operational pattern). To give that trade a MEASUREMENT, the return
+    value reports post-add cell-occupancy skew — the operational drift
+    signal: a delta whose distribution has moved away from the trained
+    centroids piles into few cells, max/mean rises, and the biggest
+    probe stops pruning (one cell of an n_cells index at skew s holds
+    s/n_cells of the data, so probe cost degrades by the same factor).
+    The stats cost one count aggregate over the store's cell partition
+    column (column-pruned scan, no vector bytes read).
+
+    Returns {"n_cells", "n_vectors", "max_cell", "mean_cell",
+    "cell_skew" (max/mean), "empty_cells"}. Caller guarantees ids are
+    new."""
     spark = new_vectors.sparkSession
     cents, _ = ivf_load_index(spark, path)
     _assign_cells(new_vectors, cents, id_col, vec_col).repartition(
         len(cents), "cell").write.mode("append").partitionBy(
         "cell").parquet(f"{path}/vectors")
+    occ = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell").agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("total"), F.max("n").alias("mx"),
+             F.count("*").alias("occupied"))
+        .collect()[0]
+    )
+    n_cells = len(cents)
+    mean = occ.total / n_cells
+    return {
+        "n_cells": n_cells,
+        "n_vectors": int(occ.total),
+        "max_cell": int(occ.mx),
+        "mean_cell": round(mean, 3),
+        "cell_skew": round(occ.mx / mean, 3) if mean else 0.0,
+        "empty_cells": n_cells - int(occ.occupied),
+    }
 
 
 def ivf_save_index(cents: list[list[float]], assigned: DataFrame,

@@ -551,3 +551,35 @@ def test_compact_minhash_index(spark, tmp_path):
     after = {(r.new_id, r.index_id, r.jaccard) for r in
              dedup_against_index(probe, path, threshold=0.5).collect()}
     assert after == before and (100, 1) in {(a, b) for a, b, _ in after}
+
+
+def test_ivf_add_vectors_reports_drift_skew(spark, tmp_path):
+    """The returned occupancy stats are the rebuild-on-drift signal:
+    a delta that concentrates in ONE cell must move max_cell/cell_skew
+    while a balanced add leaves skew near 1."""
+    from nous_spark.operators.ann import (
+        _assign_cells,
+        ivf_add_vectors,
+        ivf_save_index,
+    )
+
+    # handcrafted centroids (kmeans init is data-dependent; the drift
+    # metric, not the trainer, is under test): one axis per cell
+    cents = [[100.0 * (c == d) for d in range(4)] + [1.0, 1.0]
+             for c in range(4)]
+    base = [(c * 10 + i,
+             [100.0 * (c == d) + 0.1 * i for d in range(4)] + [1.0, 1.0])
+            for c in range(4) for i in range(5)]
+    base_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    ivf_save_index(cents, _assign_cells(base_df, cents), path)
+    # drifted delta: 20 vectors all near cluster 0 -> all one cell
+    drift = spark.createDataFrame(
+        [(1000 + i, [100.0, 0.0, 0.0, 0.0, 1.0, 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    stats = ivf_add_vectors(drift, path)
+    assert stats["n_vectors"] == 40 and stats["n_cells"] == 4
+    assert stats["max_cell"] == 25          # 5 base + 20 drifted
+    assert stats["cell_skew"] == 2.5        # 25 / (40/4)
+    assert stats["empty_cells"] == 0
