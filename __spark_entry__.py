@@ -1958,25 +1958,71 @@ def _q_session_stats(spark, sf):  # per-session rollup
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness harness evaluates the
-    # registry in order and verifies the first 50. Round-7 rotation (per
-    # VERDICT r6 #3): 18 never-driver-sampled gates — the full round-6
-    # training-set-assembly family (ds_*), graph analytics
-    # (g_triangle_counts/g_adamic_adar/g_k_core/g_label_propagation),
-    # event analytics (ev_*), txt_collocations, dd_substring_spans,
-    # txt_model_quality, and the two round-6 streaming twins
-    # (str_near_dup_drop, str_session_stats) — move INTO the top 50.
-    # Swapped just past the cap: trivial scan/agg hold-overs driver-
-    # verified in r6 or earlier (s7, n6, w2, a10, j1, j7, j9, f10, s8,
-    # s9, a3, a11, g9, f8_dice, j2, and the mm_* trio — driver-verified
-    # twice). Everything demoted stays oracled and is verified every
-    # round by scripts/gate_check.py; operator coverage is retained by
-    # golden/pytest tests. Rows-only entries (genuinely non-SQL ops)
-    # stay last.
     return {
+        # ---- driver-verified top 50 (ORDER MATTERS: the driver
+        # evaluates in order and verifies the first 50). Round-8
+        # rotation (VERDICT r7 #3): the whole round-7 family
+        # (index dedup, token-budget solver, cross-source matrix,
+        # boilerplate census, streaming funnel/report) plus every
+        # remaining never-driver-sampled r4-r6 holdout moves IN;
+        # gates whose code or oracle changed THIS round
+        # (a9 hub cap, dd_substring_spans broadcast opt-in, ds_*
+        # decimal ppm, index seg layout) are pinned in. Everything
+        # demoted has one or more green driver rows already and
+        # stays oracled + swept by scripts/gate_check.py. ----
         "kg_extract_triples": _q_extract_triples,
         "corpus_clean": _q_corpus_clean,
         "a1_mis_support": _q_mis_support,
+        "a9_semantic_relatedness": _q_a9_semantic_relatedness,
+        "dd_substring_spans": _q_substring_spans,
+        "ds_mixture_sample": _q_mixture_sample,
+        "ds_token_budget": _q_token_budget_plan,
+        "ds_sample_token_budget": _q_sample_token_budget,
+        "dd_index_dedup": _q_index_dedup,
+        "str_index_dedup": _q_str_index_dedup,
+        "ann_ivf_add": _q_ann_ivf_add,
+        "dd_cross_source": _q_cross_source_dup,
+        "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
+        "str_funnel_counts": _q_str_funnel_counts,
+        "str_corpus_report": _q_str_corpus_report,
+        "corpus_report": _q_corpus_report,
+        "txt_chunks_subword": _q_chunk_documents_subword,
+        "txt_tfidf_keywords": _q_tfidf_keywords,
+        "txt_repetition_scores": _q_repetition_scores,
+        "txt_token_entropy": _q_token_entropy,
+        "str_minhash_cands": _q_str_minhash_cands,
+        "str_corpus_clean": _q_str_corpus_clean,
+        "str_contamination": _q_str_contamination,
+        "txt_chunks": _q_chunk_documents,
+        "url_normalize": _q_normalize_urls,
+        "f9_js_divergence": _q_js_divergence,
+        "a12_neighbor_labels": _q_neighbor_labels,
+        "g2_subgraph": _q_subgraph,
+        "w6_weight_bins": _q_weight_bins,
+        "j11_prefix_match": _q_j11_prefix_match,
+        "s3_web_crawl_reader": _q_s3_web_crawl_reader,
+        "s5_autodetect": _q_s5_autodetect,
+        "s10_lg_reader": _q_s10_lg_reader,
+        "s12_topic_reader": _q_s12_topic_reader,
+        "w3_argmax_entity": _q_w3_argmax_entity,
+        "a13_type_cooccurrence": _q_type_cooccurrence,
+        "a1_mis_exact": _q_mis_exact,
+        "a6_edge_signatures": _q_edge_signatures,
+        "txt_subword_count": _q_subword_count,
+        "str_windowed_agg": _q_windowed_agg,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
+        "f8_string_sim": _q_f8_string_sim,
+        "g_adamic_adar": _q_adamic_adar,
+        "f1_valid_lines": _q_valid_lines,
+        "f2_normalize_fields": _q_normalize_fields,
+        "txt_token_count": _q_token_count,
+        "f12_las_reader": _q_f12_las_reader,
+        "g_k_core": _q_k_core,
+        "ev_retention_cohorts": _q_retention_cohorts,
+        # ---- past the driver 50-key cap: all previously driver-
+        # verified (CORRECTNESS_r01..r07), still run every round
+        # by scripts/gate_check.py ----
         "dd_embedding_pairs": _q_embedding_near_dups,
         "dd_contamination": _q_contamination,
         "dd_minhash_pairs": _q_minhash_pairs,
@@ -1996,7 +2042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_grow_patterns": _q_j6_grow_patterns,
         "a7_popularity": _q_a7_popularity,
         "a8_context_score": _q_a8_context_score,
-        "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "ann_ivf_query": _q_ann_ivf_query,
         "j3_neighborhoods": _q_j3_neighborhoods,
         "str_exact_dedup": _q_str_exact_dedup,
@@ -2006,28 +2051,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_stateful_window": _q_str_stateful_window,
         "g7_pic": _q_g7_pic,
         "lp_bpr_metrics": _q_lp_bpr_metrics,
-        # ---- round-7 promotions: never driver-sampled before ----
         "ds_split": _q_split_dataset,
         "ds_pack_shards": _q_pack_shards,
-        "ds_mixture_sample": _q_mixture_sample,
         "ds_prepare_training_set": _q_prepare_training_set,
         "ds_corpus_diff": _q_corpus_diff,
         "g_triangle_counts": _q_triangle_counts,
-        "g_adamic_adar": _q_adamic_adar,
-        "g_k_core": _q_k_core,
         "g_label_propagation": _q_label_propagation,
         "ev_sessionize": _q_sessionize,
         "ev_session_stats": _q_session_stats,
         "ev_funnel_counts": _q_funnel_counts,
-        "ev_retention_cohorts": _q_retention_cohorts,
         "txt_collocations": _q_collocations,
-        "dd_substring_spans": _q_substring_spans,
         "txt_model_quality": _q_model_quality,
         "str_near_dup_drop": _q_str_near_dup_drop,
         "str_session_stats": _q_str_session_stats,
-        # ---- past the driver's 50-key cap from here. First the round-7
-        # demotions (all still oracled + run by scripts/gate_check.py;
-        # operator coverage retained by golden/pytest tests) ----
         "s7_lang_histogram": _q_lang_histogram,
         "n6_purge_longest": _q_purge_longest,
         "w2_topk_per_group": _q_topk_per_group,
@@ -2046,60 +2082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": _q_mm_image_stats,
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_video_stats": _q_mm_video_stats,
-        # ---- round-6 demotions ----
-        "f1_valid_lines": _q_valid_lines,
-        "f2_normalize_fields": _q_normalize_fields,
-        "txt_token_count": _q_token_count,
-        "a13_type_cooccurrence": _q_type_cooccurrence,
-        "f12_las_reader": _q_f12_las_reader,
-        "w3_argmax_entity": _q_w3_argmax_entity,
-        "j11_prefix_match": _q_j11_prefix_match,
-        "s10_lg_reader": _q_s10_lg_reader,
-        "s12_topic_reader": _q_s12_topic_reader,
-        "s5_autodetect": _q_s5_autodetect,
-        # ---- earlier demotions (operator coverage retained elsewhere: A1
-        # by a1_mis_support + the WSJ batch-40 golden test, A6 by
-        # a6_two_edge_signatures, token counting by txt_subword_count's
-        # pytest twin, §2.9 by str_stateful_window, ANN by
-        # ann_cosine_topk) ----
-        "a1_mis_exact": _q_mis_exact,
-        "a6_edge_signatures": _q_edge_signatures,
-        "txt_subword_count": _q_subword_count,
-        "str_windowed_agg": _q_windowed_agg,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        # ---- non-SQL-expressible ops (NLP pipeline, sequential merge
-        # alignment): VALUES-oracled since round 4 ----
-        "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
-        "f8_string_sim": _q_f8_string_sim,
-        # ---- remaining round-4/5 training-data + streaming gates ----
-        "txt_repetition_scores": _q_repetition_scores,
-        "txt_token_entropy": _q_token_entropy,
-        "str_minhash_cands": _q_str_minhash_cands,
-        "str_corpus_clean": _q_str_corpus_clean,
-        "s3_web_crawl_reader": _q_s3_web_crawl_reader,
-        "corpus_report": _q_corpus_report,
-        "str_contamination": _q_str_contamination,
-        "txt_chunks": _q_chunk_documents,
-        "url_normalize": _q_normalize_urls,
-        "f9_js_divergence": _q_js_divergence,
-        "a12_neighbor_labels": _q_neighbor_labels,
-        "g2_subgraph": _q_subgraph,
-        "w6_weight_bins": _q_weight_bins,
-        # ---- remaining round-6 additions (promoted peers are in the
-        # top 50 above) ----
-        "txt_chunks_subword": _q_chunk_documents_subword,
-        "txt_tfidf_keywords": _q_tfidf_keywords,
-        # ---- round-7 additions: streaming twins of the last two
-        # batch-only analytics with bounded state (VERDICT r6 #6) ----
-        "str_funnel_counts": _q_str_funnel_counts,
-        "str_corpus_report": _q_str_corpus_report,
-        "ds_token_budget": _q_token_budget_plan,
-        "ds_sample_token_budget": _q_sample_token_budget,
-        "dd_cross_source": _q_cross_source_dup,
-        "dd_boilerplate_ngrams": _q_boilerplate_ngrams,
-        "dd_index_dedup": _q_index_dedup,
-        "str_index_dedup": _q_str_index_dedup,
-        "ann_ivf_add": _q_ann_ivf_add,
     }
 
 

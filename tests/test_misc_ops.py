@@ -548,3 +548,30 @@ def test_clean_corpus_model_quality_stage(spark):
     assert {r.doc_id for r in rows} == {0}, rows
     assert rows[0].keep_reason == \
         "lang+quality+repetition+model_quality+exact_keeper"
+
+
+def test_encoded_triple_sink_roundtrip(spark, tmp_path):
+    """write_triples_encoded must be lossless: decoding the int-encoded
+    store through the dictionary recovers exactly the input triples,
+    and the encoded store holds only int ids (two longs per row where
+    the plain sink repeats full entity strings)."""
+    from nous_spark.sources.sinks import (
+        read_triples_encoded,
+        write_triples_encoded,
+    )
+
+    rows = [("entity:alpha", "calls", "entity:beta", 0.9),
+            ("entity:alpha", "imports", "entity:gamma", 0.8),
+            ("entity:beta", "calls", "entity:alpha", 0.7),
+            ("entity:gamma", "rdf:type", "Class", 1.0)]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "conf"])
+    path = str(tmp_path / "enc")
+    write_triples_encoded(t, path, salt_buckets=2)
+    got = {tuple(r) for r in read_triples_encoded(spark, path)
+           .select("subj", "pred", "obj", "conf").collect()}
+    assert got == set(rows)
+    enc = spark.read.parquet(f"{path}/triples")
+    kinds = dict(enc.dtypes)
+    assert kinds["subj"] == "bigint" and kinds["o"] == "bigint"
+    dic = spark.read.parquet(f"{path}/dict")
+    assert dic.count() == 4  # alpha, beta, gamma, Class — each once
