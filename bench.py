@@ -182,10 +182,40 @@ def main() -> None:
         "agg": "min",
         **probes,
     }
+    # sf1 pass (VERDICT r7 #8: the sf1 story was builder-control only —
+    # this puts driver-invoked sf1 walls in the parsed artifact). The
+    # 10x amplification is materialized once to NOUS_BENCH_SF1_DIR
+    # (default /tmp/sf1x, reused across runs) and the HEADLINE set runs
+    # there; failures or NOUS_BENCH_SF1=0 skip the pass without touching
+    # the main artifact.
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("NOUS_BENCH_SF1", "1") != "0" and _sf_from_dir(
+            SF_DIR) == 0.1:
+        try:
+            sf1_dir = os.environ.get("NOUS_BENCH_SF1_DIR", "/tmp/sf1x")
+            if not os.path.exists(f"{sf1_dir}/documents.parquet"):
+                from scripts.make_sf1 import materialize
+                materialize(spark, SF_DIR, sf1_dir, 10)
+            sf1_reps = int(os.environ.get("NOUS_BENCH_SF1_REPS", "2"))
+            for name in headline:
+                fn, best = queries[name], float("inf")
+                for _ in range(sf1_reps):
+                    t0 = time.perf_counter()
+                    fn(spark, sf1_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                sf1_timings[name] = round(best, 3)
+                spark.catalog.clearCache()
+                print(f"# sf1 {name}: {best:.2f}s", file=sys.stderr)
+            out["sf1_wall"] = round(sum(sf1_timings.values()), 3)
+            out["sf1_reps"] = sf1_reps
+        except Exception as exc:  # sf1 is supplementary, never fatal
+            print(f"# sf1 pass skipped: {exc}", file=sys.stderr)
+
     side = {
         "extended_queries": ext_timings,
         "assembly_queries": asm_timings,
         "r7_queries": r7_timings,
+        "sf1_queries": sf1_timings,
         "query_bw_probe_sec": bw_per_query,
         "query_par_probe_sec": par_per_query,
         "headline": out,

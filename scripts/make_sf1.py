@@ -29,7 +29,12 @@ def main() -> None:
     from nous_spark.session import get_spark
 
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    materialize(spark, src, out, factor)
 
+
+def materialize(spark, src: str, out: str, factor: int = 10) -> None:
+    """Amplify ``src`` into ``out`` (callable form — bench.py uses it to
+    materialize the sf1 pass on demand)."""
     key_cols = {
         "customer": ["c_custkey"],
         "supplier": ["s_suppkey"],
