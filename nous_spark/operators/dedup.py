@@ -30,8 +30,8 @@ def _spread(df: DataFrame, min_parallelism: int | str = "auto") -> DataFrame:
     source's trigger batching.
 
     The trigger reads ``df.inputFiles()`` (a driver-side file-listing
-    off the analyzed plan), NOT ``df.rdd.getNumPartitions()`` — the RDD
-    probe forces a full Python-RDD conversion plan per call, the same
+    off the analyzed plan), NOT an RDD getNumPartitions() probe — that
+    forces a full Python-RDD conversion plan per call, the same
     Python-runner machinery whose ~5 s spin-up was measured and excised
     from the index meta write (the "coalesce tax"). File count is the
     right proxy for the case this guard exists for: a small input is

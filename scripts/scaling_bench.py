@@ -69,11 +69,17 @@ t1 = time.perf_counter()
 # no per-task dynamic-partition sort, no small-file storm (a naive
 # .partitionBy write measures the filesystem, not the engine)
 write_triples(triples, out)
+t2 = time.perf_counter()
+# the docs sink re-derives doc rows (source scan + content sha) — it is
+# extract-shaped CPU, timed apart so the artifact separates it from the
+# triple shuffle+encode (round-8 write-phase decomposition)
 docs.write.mode("overwrite").parquet(out + "_docs")
 wall = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
                   "extract_sec": round(t1 - t0, 3),
                   "write_sec": round(wall - (t1 - t0), 3),
+                  "triples_write_sec": round(t2 - t1, 3),
+                  "docs_write_sec": round(wall - (t2 - t0), 3),
                   "docs": n_docs, "docs_per_sec": round(n_docs / wall, 2),
                   "extract_docs_per_sec": round(n_docs / (t1 - t0), 2),
                   "triples": n_out}}))
@@ -243,6 +249,10 @@ def main() -> None:
         "extract_big": eb,
         "write_sec_small": results[n_small].get("write_sec"),
         "write_sec_big": results[n_big].get("write_sec"),
+        "triples_write_sec_small": results[n_small].get("triples_write_sec"),
+        "triples_write_sec_big": results[n_big].get("triples_write_sec"),
+        "docs_write_sec_small": results[n_small].get("docs_write_sec"),
+        "docs_write_sec_big": results[n_big].get("docs_write_sec"),
         "all_extract_small": all_extract[n_small],
         "all_extract_big": all_extract[n_big],
         "host_probe_sec_small": all_health[n_small],
