@@ -1001,6 +1001,56 @@ def _q_ann_ivf_add(spark, sf):  # incremental IVF index update
         "query_id", "vec_id", "cosine", "rank")
 
 
+def _q_str_ivf_ingest(spark, sf):  # §2.9 streaming embedding ingest
+    import os
+    import tempfile
+
+    from nous_spark.operators.ann import (
+        ivf_build_index,
+        ivf_load_index,
+        ivf_query,
+        ivf_save_index,
+    )
+    from nous_spark.streaming.structured import streaming_ivf_ingest
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # the streaming twin of ann_ivf_add: the SAME %4==0 delta arrives as
+    # two mtime-ordered microbatches and is folded into the saved index
+    # by foreachBatch (seg-keyed dynamic overwrite — effectively-once
+    # under replay, pinned in pytest). The drained index is therefore
+    # identical to the batch fold's, so the final probe must return
+    # exactly ann_ivf_add's rows (the VALUES oracle is the same NumPy-
+    # verified table — gen_values_oracles.verify_str_ivf_ingest also
+    # asserts cross-gate equality).
+    path = tempfile.mkdtemp(prefix="strivf_idx_")
+    cents, assigned = ivf_build_index(
+        emb.filter(F.col("vec_id") % 4 != 0), dim=dim, n_cells=8)
+    ivf_save_index(cents, assigned, path)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    src = tempfile.mkdtemp(prefix="strivf_src_")
+    for i, b in enumerate([delta.filter(F.col("vec_id") % 8 == 0),
+                           delta.filter(F.col("vec_id") % 8 == 4)]):
+        dd = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(dd)
+        for f in os.listdir(dd):
+            if f.endswith(".parquet"):
+                os.rename(f"{dd}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    q = streaming_ivf_ingest(
+        spark, src, path,
+        schema="vec_id BIGINT, embedding ARRAY<FLOAT>",
+        checkpoint_dir=tempfile.mkdtemp(prefix="strivf_ckpt_"))
+    q.awaitTermination(120)
+    cents2, assigned2 = ivf_load_index(spark, path)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query(cents2, assigned2, qdf, k=10, n_probe=3).select(
+        "query_id", "vec_id", "cosine", "rank")
+
+
 def _q_str_exact_dedup(spark, sf):  # streaming exact dedup (§2.9)
     import tempfile
 
@@ -2019,10 +2069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": _q_token_count,
         "f12_las_reader": _q_f12_las_reader,
         "g_k_core": _q_k_core,
-        "ev_retention_cohorts": _q_retention_cohorts,
+        "str_ivf_ingest": _q_str_ivf_ingest,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py ----
+        "ev_retention_cohorts": _q_retention_cohorts,
         "dd_embedding_pairs": _q_embedding_near_dups,
         "dd_contamination": _q_contamination,
         "dd_minhash_pairs": _q_minhash_pairs,

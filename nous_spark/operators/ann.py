@@ -363,7 +363,8 @@ def _assign_cells(vectors: DataFrame, cents: list[list[float]],
 
 def ivf_add_vectors(new_vectors: DataFrame, path: str,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> dict:
+                    vec_col: str = "embedding",
+                    seg: str | None = None) -> dict:
     """Fold a new vector batch into a SAVED IVF index without
     retraining — the embedding-side twin of ``update_minhash_index``:
     at 100 TB a daily embedding delta must not re-run kmeans or rewrite
@@ -386,12 +387,24 @@ def ivf_add_vectors(new_vectors: DataFrame, path: str,
 
     Returns {"n_cells", "n_vectors", "max_cell", "mean_cell",
     "cell_skew" (max/mean), "empty_cells"}. Caller guarantees ids are
-    new."""
+    new.
+
+    ``seg`` names the delta's segment partition (same idempotency
+    contract as ``update_minhash_index``): a caller that supplies a
+    STABLE id for the delta gets a retry-safe fold — the write replaces
+    ``seg=<id>`` with dynamic partition overwrite instead of
+    blind-appending. Default (None) generates a fresh segment, i.e.
+    plain append semantics."""
+    import uuid
+
     spark = new_vectors.sparkSession
     cents, _ = ivf_load_index(spark, path)
-    _assign_cells(new_vectors, cents, id_col, vec_col).repartition(
-        len(cents), "cell").write.mode("append").partitionBy(
-        "cell").parquet(f"{path}/vectors")
+    seg = seg if seg is not None else f"u{uuid.uuid4().hex[:12]}"
+    _assign_cells(new_vectors, cents, id_col, vec_col).withColumn(
+        "seg", F.lit(seg)).repartition(
+        len(cents), "cell").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic").partitionBy(
+        "cell", "seg").parquet(f"{path}/vectors")
     occ = (
         spark.read.parquet(f"{path}/vectors")
         .groupBy("cell").agg(F.count("*").alias("n"))
@@ -415,7 +428,10 @@ def ivf_save_index(cents: list[list[float]], assigned: DataFrame,
                    path: str) -> None:
     """Persist an IVF index: centroids as a tiny parquet (cell, centroid),
     assignments partitioned BY CELL so a query probing n_probe cells
-    prunes to n_probe/n_cells of the data at the file level."""
+    prunes to n_probe/n_cells of the data at the file level, with a
+    second ``seg`` level (``seg=base`` here, one seg per incremental
+    add) so delta folds can be replaced idempotently — the same layout
+    contract as the MinHash index."""
     spark = assigned.sparkSession
     # single-slice parallelize: a default-sliced local frame fans out to
     # defaultParallelism Python workers whose spin-up costs ~5 s per
@@ -425,8 +441,8 @@ def ivf_save_index(cents: list[list[float]], assigned: DataFrame,
             [(i, c) for i, c in enumerate(cents)], 1),
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/vectors")
+    assigned.withColumn("seg", F.lit("base")).write.mode(
+        "overwrite").partitionBy("cell", "seg").parquet(f"{path}/vectors")
 
 
 def ivf_load_index(spark: SparkSession,

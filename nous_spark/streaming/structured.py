@@ -702,3 +702,96 @@ def _index_dedup_batch(
             m.bands, "band").write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic").partitionBy(
             "band", "seg").parquet(f"{index_path}/banded")
+
+
+def streaming_ivf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    schema: str = "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous embedding ingest into a SAVED IVF index — the
+    vector-side twin of ``streaming_index_dedup``: a stream of new
+    embeddings (fresh crawl batches, nightly re-embeds) is assigned to
+    the EXISTING centroids and folded into the by-cell store, so every
+    later ``ivf_query`` probe sees it; no retrain, no store rewrite.
+
+    Effectively-once under replay, by the same keyed-overwrite contract
+    as the dedup twin: each microbatch's fold lands under ``seg=b<k>``
+    with dynamic partition overwrite, so a batch replayed after a torn
+    write replaces — never duplicates — its own delta (the assignment
+    is deterministic given the pinned centroids, making the replacement
+    byte-stable).
+
+    ``stats_dir`` (optional) writes one occupancy-stats row per batch
+    under ``batch_id=<k>`` — the rebuild-on-drift signal
+    (``ivf_add_vectors`` docstring): computed as an aggregate DataFrame
+    over the store's cell partition column, never a driver collect.
+
+    Centroid drift remains the operator's trade: when the stats show
+    skew rising, rebuild with ``ivf_build_index`` offline and swap.
+    Returns the started StreamingQuery."""
+    from nous_spark.operators.ann import ivf_load_index
+
+    checkpoint_dir = checkpoint_dir or f"{index_path}/_stream_checkpoint"
+    cents, _ = ivf_load_index(spark, index_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _ivf_ingest_batch(spark, batch_df, batch_id, index_path, cents,
+                          id_col=id_col, vec_col=vec_col,
+                          stats_dir=stats_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ivf_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_dir: str | None = None,
+) -> None:
+    """One microbatch of ``streaming_ivf_ingest`` — module-level so the
+    torn-batch test can run an attempt directly (fold lands, no
+    checkpoint commit) and let the stream replay it."""
+    from nous_spark.operators.ann import _assign_cells
+
+    if batch_df.isEmpty():
+        return
+    seg = f"b{batch_id}"
+    _assign_cells(batch_df, cents, id_col, vec_col).withColumn(
+        "seg", F.lit(seg)).repartition(len(cents), "cell").write.mode(
+        "overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("cell", "seg").parquet(f"{index_path}/vectors")
+    if stats_dir:
+        occ = (
+            spark.read.parquet(f"{index_path}/vectors")
+            .groupBy("cell").agg(F.count("*").alias("n"))
+            .agg(F.sum("n").cast("long").alias("n_vectors"),
+                 F.max("n").cast("long").alias("max_cell"),
+                 F.count("*").cast("long").alias("occupied_cells"))
+            .withColumn("n_cells", F.lit(len(cents)))
+            .withColumn("cell_skew", F.round(
+                F.col("max_cell") * F.col("n_cells")
+                / F.col("n_vectors"), 3))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        occ.coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id").parquet(stats_dir)

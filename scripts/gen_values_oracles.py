@@ -80,6 +80,12 @@ GATES = [
     # (NumPy cosines, dense rank order, self-recovery of an ADDED query
     # vector) plus delta-membership checks
     "ann_ivf_add",
+    # round-8: the streaming ingest twin — the same %4==0 delta folded
+    # in two microbatches must leave an index identical to the batch
+    # fold's, so its probe rows are REQUIRED to equal ann_ivf_add's
+    # exactly (cross-gate equality verified below) on top of the NumPy
+    # invariants
+    "str_ivf_ingest",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -219,6 +225,9 @@ def main() -> None:
     verify_ann_ivf_add()
     print("ann_ivf_add: NumPy cosine/self-recovery + delta-membership "
           "check OK")
+    verify_str_ivf_ingest()
+    print("str_ivf_ingest: row-for-row equality with ann_ivf_add + "
+          "NumPy checks OK")
 
 
 def _cooccur_adj_mod20():
@@ -428,6 +437,24 @@ def verify_ann_ivf_add() -> None:
         all_vids.update(v for _, _, v in lst)
     assert any(v % 4 == 0 for v in all_vids), "no added vectors returned"
     assert any(v % 4 != 0 for v in all_vids), "no original vectors returned"
+
+
+def verify_str_ivf_ingest() -> None:
+    """The streamed fold must be observationally identical to the batch
+    fold: the str_ivf_ingest oracle rows must equal ann_ivf_add's as
+    multisets (same index content => same probe), and carry the same
+    NumPy-exact cosines."""
+    emb = _load_embeddings()
+    names_a, rows_a = _oracle_rows("ann_ivf_add")
+    names_s, rows_s = _oracle_rows("str_ivf_ingest")
+    assert names_a == names_s
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, rows_s)), \
+        "streaming fold diverged from the batch fold"
+    for r in rows_s:
+        q, vid, cos = (int(r[names_s.index("query_id")]),
+                       int(r[names_s.index("vec_id")]),
+                       float(r[names_s.index("cosine")]))
+        assert abs(_cos(emb[q], emb[vid]) - cos) <= 1.5e-6, (q, vid, cos)
 
 
 def verify_streaming_minhash(spark) -> None:

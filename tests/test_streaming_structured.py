@@ -615,3 +615,81 @@ def test_streaming_index_dedup_auto_compaction(spark, tmp_path):
                    .collect())
     assert after == before and {(a, b) for a, b, _ in after} >= {
         (100, 10), (100, 30)}
+
+
+def test_streaming_ivf_ingest_folds_batches_idempotently(spark, tmp_path):
+    """Two embedding microbatches folded into a saved IVF index must
+    leave the store identical to the batch ivf_add_vectors path (same
+    centroids, same assignment), queries must recover added vectors,
+    per-batch occupancy stats must land, and a torn-batch replay (fold
+    written, no checkpoint commit) must replace its own segment, not
+    duplicate it."""
+    import os
+
+    from nous_spark.operators.ann import (
+        _assign_cells,
+        ivf_load_index,
+        ivf_query,
+        ivf_save_index,
+    )
+    from nous_spark.streaming.structured import (
+        _ivf_ingest_batch,
+        streaming_ivf_ingest,
+    )
+
+    cents = [[100.0 * (c == d) for d in range(4)] + [1.0, 1.0]
+             for c in range(4)]
+    base = [(c * 10 + i,
+             [100.0 * (c == d) + 0.1 * i for d in range(4)] + [1.0, 1.0])
+            for c in range(4) for i in range(3)]
+    base_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    ivf_save_index(cents, _assign_cells(base_df, cents), idx)
+
+    # 7.5+i offsets keep streamed vectors NON-parallel to every base
+    # vector (an exact duplicate would tie at cosine 1.0 and lose the
+    # vec_id tie-break to the older copy)
+    b1 = [(100 + i, [100.0, 7.5 + i, 0.0, 0.0, 1.0, 1.0])
+          for i in range(4)]
+    b2 = [(200 + i, [0.0, 100.0, 7.5 + i, 0.0, 1.0, 1.0])
+          for i in range(4)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2]):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    # torn attempt: batch 0's fold lands with NO checkpoint commit
+    _ivf_ingest_batch(spark, spark.createDataFrame(
+        b1, "vec_id long, embedding array<double>"), 0, idx, cents)
+    stats_dir = str(tmp_path / "stats")
+    q = streaming_ivf_ingest(spark, src, idx, stats_dir=stats_dir,
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    q.stop()
+    cents2, assigned = ivf_load_index(spark, idx)
+    got = sorted((r.vec_id, r.cell) for r in
+                 assigned.select("vec_id", "cell").collect())
+    union = base_df.unionByName(spark.createDataFrame(
+        b1 + b2, "vec_id long, embedding array<double>"))
+    expect = sorted((r.vec_id, r.cell) for r in
+                    _assign_cells(union, cents).collect())
+    assert got == expect  # replay replaced seg=b0 — no duplicates
+    res = ivf_query(cents2, assigned,
+                    spark.createDataFrame(
+                        [(100, b1[0][1]), (200, b2[0][1])],
+                        "query_id long, embedding array<double>"),
+                    k=3, n_probe=2).collect()
+    top1 = {r.query_id: r.vec_id for r in res if r.rank == 1}
+    assert top1 == {100: 100, 200: 200}  # streamed vectors recovered
+    stats = {r.batch_id: r.asDict() for r in
+             spark.read.parquet(stats_dir).collect()}
+    assert set(stats) == {0, 1}
+    assert stats[1]["n_vectors"] == 20 and stats[1]["n_cells"] == 4
