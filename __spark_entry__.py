@@ -2007,6 +2007,95 @@ def _q_session_stats(spark, sf):  # per-session rollup
     )
 
 
+def _q_asof_join(spark, sf):  # per-user last-click attribution (as-of)
+    """Every purchase joined to the user's most recent click at-or-before
+    it (classic attribution). Union+window implementation — one shuffle
+    on user_id, zero joins; oracle is DuckDB's native ASOF LEFT JOIN
+    over the same tie-collapsed click stream."""
+    from nous_spark.operators.joins import asof_join
+
+    e = _read(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_eid"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(purchases, clicks, on=["user_id"])
+    # unmatched purchases keep -1 sentinels (the harness compares
+    # null-free sorted tuples; same coalesce in the oracle)
+    return j.select(
+        "pid", "user_id",
+        F.coalesce("click_eid", F.lit(-1)).alias("click_eid"),
+        F.coalesce(F.round("click_value", 2), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros("ts_r"),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+def _q_range_join(spark, sf):  # events inside post-error windows
+    """For each error event, the count/value-sum of ALL events (any
+    user) in the closed 10-minute window starting at the error — a
+    global (un-keyed) interval×point range join, bucketed so the plan
+    is an equi-join, never a broadcast-nested-loop."""
+    from nous_spark.operators.joins import range_join
+
+    e = _read(spark, sf, "events")
+    intervals = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + 600_000_000
+        ).alias("end"),
+    )
+    points = e.select(F.col("event_id").alias("pid"), "ts", "value")
+    j = range_join(intervals, points, bucket_seconds=600)
+    return j.groupBy("iid").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_bgp_match(spark, sf):  # conjunctive triple-pattern query
+    """SPARQL-style BGP over a triple table built from the TPC-H
+    relations: which suppliers ?s ship a part ?p of Brand#13, and in
+    which nation ?n do they sit? Three patterns, two join variables;
+    the bound-predicate+object pattern seeds the join order."""
+    from nous_spark.operators.bgp import match_pattern
+
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part")
+    supp = _read(spark, sf, "supplier")
+    triples = (
+        li.select(
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+        ).distinct()
+        .unionByName(part.select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("subj"),
+            F.lit("has_brand").alias("pred"),
+            F.col("p_brand").alias("obj"),
+        ))
+        .unionByName(supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        ))
+    )
+    m = match_pattern(triples, [
+        ("?s", "supplies", "?p"),
+        ("?p", "has_brand", "Brand#13"),
+        ("?s", "in_nation", "?n"),
+    ])
+    return m.select("s", "p", "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver-verified top 50 (ORDER MATTERS: the driver
@@ -2021,8 +2110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted has one or more green driver rows already and
         # stays oracled + swept by scripts/gate_check.py. ----
         "kg_extract_triples": _q_extract_triples,
-        "corpus_clean": _q_corpus_clean,
-        "a1_mis_support": _q_mis_support,
+        # new this round (joins.py / bgp.py) — pinned into the 50:
+        "ev_asof_join": _q_asof_join,
+        "ev_range_join": _q_range_join,
+        "kg_bgp_match": _q_bgp_match,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2068,11 +2159,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
         "f12_las_reader": _q_f12_las_reader,
-        "g_k_core": _q_k_core,
         "str_ivf_ingest": _q_str_ivf_ingest,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
-        # by scripts/gate_check.py ----
+        # by scripts/gate_check.py. corpus_clean / a1_mis_support /
+        # g_k_core demoted this round to make room for the three new
+        # join/BGP gates — all three demotions are green in r7. ----
+        "corpus_clean": _q_corpus_clean,
+        "a1_mis_support": _q_mis_support,
+        "g_k_core": _q_k_core,
         "ev_retention_cohorts": _q_retention_cohorts,
         "dd_embedding_pairs": _q_embedding_near_dups,
         "dd_contamination": _q_contamination,
@@ -3801,6 +3896,52 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_us,
                    round(sum(value), 6) AS sum_value
             FROM x GROUP BY user_id, session_idx
+        """,
+        "ev_asof_join": """
+            WITH p AS (SELECT event_id AS pid, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, event_id AS click_eid,
+                         value AS click_value
+                  FROM events WHERE event_type = 'click'
+                  QUALIFY row_number() OVER (
+                      PARTITION BY user_id, ts
+                      ORDER BY event_id DESC, value DESC) = 1)
+            SELECT p.pid, p.user_id,
+                   coalesce(c.click_eid, -1)::BIGINT AS click_eid,
+                   coalesce(round(c.click_value, 2), -1.0) AS click_value,
+                   coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT
+                     AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "ev_range_join": """
+            WITH i AS (SELECT event_id AS iid, ts AS s,
+                              ts + INTERVAL 600 SECOND AS e
+                       FROM events WHERE event_type = 'error')
+            SELECT iid, count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM i JOIN events ev ON ev.ts >= i.s AND ev.ts <= i.e
+            GROUP BY iid
+        """,
+        "kg_bgp_match": """
+            WITH triples AS (
+              SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS subj,
+                     'supplies' AS pred,
+                     'P' || l_partkey::VARCHAR AS obj FROM lineitem
+              UNION ALL
+              SELECT 'P' || p_partkey::VARCHAR, 'has_brand', p_brand
+              FROM part
+              UNION ALL
+              SELECT 'S' || s_suppkey::VARCHAR, 'in_nation',
+                     'N' || s_nationkey::VARCHAR FROM supplier
+            )
+            SELECT t1.subj AS s, t1.obj AS p, t3.obj AS n
+            FROM triples t1
+            JOIN triples t2 ON t2.pred = 'has_brand'
+                           AND t2.subj = t1.obj AND t2.obj = 'Brand#13'
+            JOIN triples t3 ON t3.pred = 'in_nation'
+                           AND t3.subj = t1.subj
+            WHERE t1.pred = 'supplies'
         """,
         "str_session_stats": """
             WITH s AS (SELECT user_id, ts, value,

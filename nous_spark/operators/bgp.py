@@ -1,0 +1,139 @@
+"""Basic-graph-pattern (BGP) matching over a triple table: the
+conjunctive-query primitive of every SPARQL-shaped KG store.
+
+The reference answers graph questions either by Pregel path search
+(Search/src/main/scala/gov/pnnl/nous/pathSearch — re-expressed in
+operators/pathsearch.py) or by frequent-pattern growth
+(Mining/src/main/scala — operators/mining.py); it has no declarative
+triple-pattern matcher, yet every query its users phrase ("which x
+supplies a part branded B made in nation n?") IS a BGP. Here the
+matcher is pure Catalyst: each triple pattern is a filtered scan of the
+triples table, patterns chain with equi-joins on shared variables, and
+the optimizer (broadcast for selective patterns, AQE for skew) picks
+the physical strategy — exactly how SPARQL-on-SQL engines compile BGPs.
+
+Scale design: pattern scans push their literal predicates into the
+parquet scan (one scan per pattern — at 100 TB, partitioning the triple
+store by predicate makes a bound-predicate pattern a partition-pruned
+read, see sources/sinks.py write_triples). Join order is
+selectivity-greedy: the pattern with the most bound terms seeds the
+plan, then at each step the connected pattern (shares a variable) with
+the most bound terms joins next, so intermediate cardinality stays near
+the final answer's. A disconnected pattern graph would force a cross
+join; that is refused unless ``allow_cartesian=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def match_pattern(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Match a conjunction of triple patterns against ``triples`` and
+    return one row per binding of the pattern's variables.
+
+    Each pattern is a (subject, predicate, object) tuple; a term
+    starting with ``?`` is a variable, anything else is a literal the
+    triple component must equal. The result has one column per distinct
+    variable (name without the ``?``), multiset semantics over the
+    input (duplicate triples produce duplicate bindings) unless
+    ``distinct=True``.
+
+    A variable repeated within one pattern constrains components to be
+    equal (``("?x", "knows", "?x")`` matches self-loops); repeated
+    across patterns it becomes the join key. Bindings follow SQL
+    equality, so triples with a NULL component never match a variable
+    shared across patterns (inner-join semantics) — and are filtered
+    from single-pattern scans too, keeping one-pattern and multi-pattern
+    queries consistent.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    cols = {"subj": subj_col, "pred": pred_col, "obj": obj_col}
+
+    scans: list[tuple[DataFrame, frozenset[str], int]] = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a 3-tuple, got {pat!r}")
+        df = triples
+        n_bound = 0
+        var_at: dict[str, list[str]] = {}
+        for pos, term in zip(_POS, pat):
+            c = cols[pos]
+            if _is_var(term):
+                var_at.setdefault(term[1:], []).append(c)
+                df = df.where(F.col(c).isNotNull())
+            else:
+                df = df.where(F.col(c) == F.lit(term))
+                n_bound += 1
+        if not var_at:
+            # Fully bound pattern: keep it as an existence filter by
+            # exposing a constant-free 1-row-per-match frame is useless;
+            # model it as a scan with a dummy column joined via cross —
+            # simplest correct reading: it contributes its multiplicity.
+            raise ValueError(
+                "fully-bound patterns carry no variables; filter them "
+                "upstream or add a variable"
+            )
+        sel = []
+        for v, at in var_at.items():
+            if len(at) > 1:  # same variable twice in one pattern
+                for a, b in zip(at, at[1:]):
+                    df = df.where(F.col(a) == F.col(b))
+            sel.append(F.col(at[0]).alias(v))
+        scans.append((df.select(*sel), frozenset(var_at), n_bound))
+
+    # Greedy connected join order: most-bound pattern first, then the
+    # most-bound pattern sharing a variable with what's already joined.
+    remaining = list(range(len(scans)))
+    remaining.sort(key=lambda i: -scans[i][2])
+    order = [remaining.pop(0)]
+    bound_vars = set(scans[order[0]][1])
+    while remaining:
+        nxt = None
+        for i in remaining:  # kept in selectivity order
+            if scans[i][1] & bound_vars:
+                nxt = i
+                break
+        if nxt is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "pattern graph is disconnected; pass "
+                    "allow_cartesian=True to accept the cross join"
+                )
+            nxt = remaining[0]
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound_vars |= scans[nxt][1]
+
+    out = scans[order[0]][0]
+    seen = set(scans[order[0]][1])
+    for i in order[1:]:
+        df, vars_i, _ = scans[i]
+        shared = sorted(seen & vars_i)
+        out = (
+            out.join(df, on=shared, how="inner")
+            if shared
+            else out.crossJoin(df)
+        )
+        seen |= vars_i
+    if distinct:
+        out = out.distinct()
+    return out

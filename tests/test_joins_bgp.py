@@ -1,0 +1,214 @@
+"""Tests for the temporal joins (asof_join, range_join) and the BGP
+matcher, each against a brute-force pure-Python oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.bgp import match_pattern
+from nous_spark.operators.joins import asof_join, range_join
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+def _brute_asof(lrows, rrows, direction="backward", strict=False,
+                tolerance=None):
+    """Oracle: rrows pre-collapsed per (key, ts) to max payload."""
+    best: dict = {}
+    for k, t, p in rrows:
+        cur = best.get((k, t))
+        if cur is None or p > cur:
+            best[(k, t)] = p
+    out = []
+    for lid, k, t in lrows:
+        cands = []
+        for (rk, rt), p in best.items():
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rt < t if strict else rt <= t
+                dist = t - rt
+            else:
+                ok = rt > t if strict else rt >= t
+                dist = rt - t
+            if ok:
+                cands.append((dist, rt, p))
+        if not cands:
+            out.append((lid, None, None))
+            continue
+        dist, rt, p = min(cands)
+        if tolerance is not None and dist > tolerance:
+            out.append((lid, None, None))
+        else:
+            out.append((lid, rt, p))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True),
+])
+def test_asof_join_matches_brute_force(spark, direction, strict):
+    rng = random.Random(42)
+    lrows = [(i, rng.randrange(4), rng.randrange(0, 100))
+             for i in range(120)]
+    rrows = [(rng.randrange(4), rng.randrange(0, 100), rng.randrange(50))
+             for _ in range(80)]
+    left = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, k, t in lrows], "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, _ts(t), p) for k, t, p in rrows], "k long, ts timestamp, p long")
+    got = asof_join(left, right, on=["k"], direction=direction,
+                    strict=strict)
+    rows = {(r.lid, r.ts_r, r.p) for r in got.collect()}
+    want = {
+        (lid, None if rt is None else _ts(rt), p)
+        for lid, rt, p in _brute_asof(lrows, rrows, direction, strict)
+    }
+    assert rows == want
+    assert got.count() == len(lrows)  # left-outer: every left row kept
+
+
+def test_asof_join_tolerance_and_tie_collapse(spark):
+    left = spark.createDataFrame(
+        [(1, 0, _ts(100)), (2, 0, _ts(500))],
+        "lid long, k long, ts timestamp")
+    # two right rows at the same (k, ts): greatest payload tuple wins
+    right = spark.createDataFrame(
+        [(0, _ts(100), 7), (0, _ts(100), 9), (0, _ts(10), 1)],
+        "k long, ts timestamp, p long")
+    got = {(r.lid, r.p) for r in
+           asof_join(left, right, on=["k"],
+                     tolerance_seconds=60).collect()}
+    assert got == {(1, 9), (2, None)}  # 500-100=400s > tolerance
+
+
+def test_asof_join_column_collision_suffix(spark):
+    left = spark.createDataFrame([(1, 0, _ts(5), "L")],
+                                 "lid long, k long, ts timestamp, v string")
+    right = spark.createDataFrame([(0, _ts(3), "R")],
+                                  "k long, ts timestamp, v string")
+    row = asof_join(left, right, on=["k"]).collect()[0]
+    assert row.v == "L" and row.v_r == "R" and row.ts_r == _ts(3)
+
+
+def _brute_range(ivs, pts, bucketless=True):
+    out = []
+    for iid, s, e in ivs:
+        for pid, t in pts:
+            if s <= t <= e:
+                out.append((iid, pid))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("bucket", [7, 60, 3600])
+def test_range_join_matches_brute_force(spark, bucket):
+    rng = random.Random(7)
+    ivs = []
+    for i in range(40):
+        s = rng.randrange(-500, 500)  # negative: pre-1970 bucket math
+        ivs.append((i, s, s + rng.randrange(0, 200)))
+    pts = [(j, rng.randrange(-600, 700)) for j in range(200)]
+    intervals = spark.createDataFrame(
+        [(i, _ts(s), _ts(e)) for i, s, e in ivs],
+        "iid long, start timestamp, end timestamp")
+    points = spark.createDataFrame(
+        [(j, _ts(t)) for j, t in pts], "pid long, ts timestamp")
+    got = range_join(intervals, points, bucket_seconds=bucket)
+    pairs = sorted((r.iid, r.pid) for r in got.collect())
+    assert pairs == _brute_range(ivs, pts)  # exactly once, no dups
+
+
+def test_range_join_keyed_and_collision(spark):
+    intervals = spark.createDataFrame(
+        [(1, "u", _ts(0), _ts(100), "I")],
+        "iid long, k string, start timestamp, end timestamp, tag string")
+    points = spark.createDataFrame(
+        [("u", 10, _ts(50), "P"), ("v", 11, _ts(50), "P")],
+        "k string, pid long, ts timestamp, tag string")
+    rows = range_join(intervals, points, on=["k"]).collect()
+    assert len(rows) == 1  # key v filtered by the equi-key
+    assert rows[0].tag == "I" and rows[0].tag_p == "P"
+
+
+TRIPLES = [
+    ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+    ("c", "knows", "a"), ("a", "type", "person"), ("b", "type", "person"),
+    ("c", "type", "robot"), ("b", "likes", "b"), ("a", "likes", "c"),
+    ("a", "knows", "b"),  # duplicate: multiset semantics
+]
+
+
+def _brute_bgp(patterns):
+    """Enumerate all bindings by nested loops over the triple list."""
+    results = []
+    def rec(i, env):
+        if i == len(patterns):
+            results.append(dict(env))
+            return
+        for t in TRIPLES:
+            env2 = dict(env)
+            ok = True
+            for term, val in zip(patterns[i], t):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in env2 and env2[v] != val:
+                        ok = False
+                        break
+                    env2[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                rec(i + 1, env2)
+    rec(0, {})
+    return results
+
+
+@pytest.mark.parametrize("patterns", [
+    [("?x", "knows", "?y")],
+    [("?x", "knows", "?y"), ("?y", "knows", "?z")],
+    [("?x", "knows", "?y"), ("?y", "type", "person")],
+    [("?x", "type", "person"), ("?x", "knows", "?y"),
+     ("?y", "type", "robot")],
+    [("?x", "likes", "?x")],  # repeated var within one pattern
+    [("?x", "knows", "?y"), ("?x", "likes", "?y")],
+])
+def test_bgp_matches_brute_force(spark, patterns):
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = match_pattern(df, patterns)
+    vars_ = sorted(got.columns)
+    rows = sorted(tuple(r[v] for v in vars_) for r in got.collect())
+    want = sorted(tuple(env[v] for v in vars_)
+                  for env in _brute_bgp(patterns))
+    assert rows == want
+
+
+def test_bgp_distinct_and_errors(spark):
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    dup = match_pattern(df, [("?x", "knows", "b")])
+    assert dup.count() == 2  # multiset: the duplicate triple counts twice
+    assert match_pattern(df, [("?x", "knows", "b")], distinct=True).count() == 1
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(df, [("?x", "knows", "b"), ("?y", "type", "robot")])
+    assert match_pattern(
+        df, [("?x", "knows", "b"), ("?y", "type", "robot")],
+        allow_cartesian=True).count() == 2
+    with pytest.raises(ValueError, match="fully-bound"):
+        match_pattern(df, [("a", "knows", "b")])
+
+
+def test_bgp_null_components_never_bind(spark):
+    df = spark.createDataFrame(
+        [("a", "knows", None), (None, "knows", "b"), ("a", "knows", "b")],
+        "subj string, pred string, obj string")
+    assert match_pattern(df, [("?x", "knows", "?y")]).count() == 1
