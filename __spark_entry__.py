@@ -2007,6 +2007,36 @@ def _q_session_stats(spark, sf):  # per-session rollup
     )
 
 
+def _q_semantic_dedup(spark, sf):  # SemDeDup cluster-blocked dedup
+    """Semantic dedup over the embeddings table with planted duplicate
+    CHAINS: +0.02-shifted copies of vec_id<12 (cos ~0.987 to source)
+    and +0.04-shifted copies of vec_id<6 (cos ~0.95 to source, ~0.988
+    to the +0.02 copy). At threshold 0.97 the source–far-copy edge is
+    ABSENT, so the three-member groups exist only through transitive
+    closure — the policy the operator pins."""
+    from nous_spark.operators.semdedup import semantic_dedup
+
+    emb = _read(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    def shifted(max_id, offset, delta):
+        return emb.filter(F.col("vec_id") < max_id).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda v: v + delta,
+            ).alias("embedding"),
+        )
+
+    both = (
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(shifted(12, 1_000_000, 0.02))
+        .unionByName(shifted(6, 2_000_000, 0.04))
+    )
+    return semantic_dedup(both, dim=dim, threshold=0.97, n_cells=8)
+
+
 def _q_asof_join(spark, sf):  # per-user last-click attribution (as-of)
     """Every purchase joined to the user's most recent click at-or-before
     it (classic attribution). Union+window implementation — one shuffle
@@ -2114,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join": _q_asof_join,
         "ev_range_join": _q_range_join,
         "kg_bgp_match": _q_bgp_match,
+        "dd_semantic_dedup": _q_semantic_dedup,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2154,7 +2185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
-        "g_adamic_adar": _q_adamic_adar,
         "f1_valid_lines": _q_valid_lines,
         "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
@@ -2168,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "a1_mis_support": _q_mis_support,
         "g_k_core": _q_k_core,
+        "g_adamic_adar": _q_adamic_adar,
         "ev_retention_cohorts": _q_retention_cohorts,
         "dd_embedding_pairs": _q_embedding_near_dups,
         "dd_contamination": _q_contamination,

@@ -86,6 +86,11 @@ GATES = [
     # exactly (cross-gate equality verified below) on top of the NumPy
     # invariants
     "str_ivf_ingest",
+    # round-8: SemDeDup semantic dedup — k-means cells aren't SQL, so
+    # the verdict table is a VALUES oracle, verified below by a full
+    # NumPy re-derivation of the within-cell τ-components GIVEN the
+    # gate's cell assignment, plus planted transitive-chain recall
+    "dd_semantic_dedup",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -228,6 +233,9 @@ def main() -> None:
     verify_str_ivf_ingest()
     print("str_ivf_ingest: row-for-row equality with ann_ivf_add + "
           "NumPy checks OK")
+    verify_semantic_dedup()
+    print("dd_semantic_dedup: NumPy within-cell component re-derivation "
+          "+ transitive-chain recall OK")
 
 
 def _cooccur_adj_mod20():
@@ -455,6 +463,71 @@ def verify_str_ivf_ingest() -> None:
                        int(r[names_s.index("vec_id")]),
                        float(r[names_s.index("cosine")]))
         assert abs(_cos(emb[q], emb[vid]) - cos) <= 1.5e-6, (q, vid, cos)
+
+
+def verify_semantic_dedup() -> None:
+    """Full NumPy re-derivation of the SemDeDup verdict GIVEN the
+    gate's cell assignment: rebuild the planted corpus (+0.02 copies of
+    vec_id<12, +0.04 copies of vec_id<6), union-find over the true
+    cosine graph restricted to same-cell pairs at τ=0.97, and require
+    the oracle's (group_id, keep) to match exactly. Then planted
+    recall: each source/near-copy/far-copy triple must share one group
+    (reachable only transitively — the far copy's cosine to the source
+    is ~0.95 < τ, asserted), and keepers must be group minima."""
+    import numpy as np
+
+    emb = _load_embeddings()
+    corpus = dict(emb)
+    for i in range(12):
+        corpus[1_000_000 + i] = emb[i] + 0.02
+    for i in range(6):
+        corpus[2_000_000 + i] = emb[i] + 0.04
+
+    names, rows = _oracle_rows("dd_semantic_dedup")
+    cell_of, group_of, keep_of = {}, {}, {}
+    for r in rows:
+        vid = int(r[names.index("vec_id")])
+        cell_of[vid] = int(r[names.index("cell")])
+        group_of[vid] = int(r[names.index("group_id")])
+        keep_of[vid] = int(r[names.index("keep")])
+    assert set(cell_of) == set(corpus), "verdict must cover every doc"
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cell_of.items():
+        by_cell.setdefault(c, []).append(vid)
+    parent = {v: v for v in corpus}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in by_cell.values():
+        members.sort()
+        m = np.array([corpus[v] for v in members], dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if sims[i, j] >= 0.97:
+                    a, b = find(members[i]), find(members[j])
+                    if a != b:
+                        lo, hi = min(a, b), max(a, b)
+                        parent[hi] = lo
+    for vid in corpus:
+        assert group_of[vid] == find(vid), (
+            f"group mismatch for {vid}: {group_of[vid]} vs {find(vid)}")
+        assert keep_of[vid] == int(vid == group_of[vid]), vid
+
+    for i in range(6):
+        assert group_of[i] == group_of[1_000_000 + i] \
+            == group_of[2_000_000 + i] == i, f"chain {i} split"
+        far = _cos(emb[i], corpus[2_000_000 + i])
+        assert far < 0.97, (
+            f"chain {i} is not transitive-only (cos {far:.4f})")
+    for i in range(6, 12):
+        assert group_of[1_000_000 + i] == group_of[i] == i
 
 
 def verify_streaming_minhash(spark) -> None:
