@@ -94,10 +94,19 @@ def main() -> None:
         "str_funnel_counts",
         "str_corpus_report",
     ]
+    # round-8 additions: own group, same rationale
+    r8 = [
+        "ev_asof_join",
+        "ev_range_join",
+        "kg_bgp_match",
+        "dd_semantic_dedup",
+        "str_ivf_ingest",
+    ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
     asm_timings: dict[str, float] = {}
     r7_timings: dict[str, float] = {}
+    r8_timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
     # warm the JVM/Arrow paths once so timings measure the engine, not init
@@ -125,7 +134,7 @@ def main() -> None:
         (n, ext_timings) for n in extended
     ] + [(n, asm_timings) for n in assembly] + [
         (n, r7_timings) for n in r7
-    ]:
+    ] + [(n, r8_timings) for n in r8]:
         fn = queries[name]
         best, n = float("inf"), 0
         for _ in range(reps):
@@ -178,6 +187,7 @@ def main() -> None:
         "extended_wall": round(sum(ext_timings.values()), 3),
         "assembly_wall": round(sum(asm_timings.values()), 3),
         "r7_wall": round(sum(r7_timings.values()), 3),
+        "r8_wall": round(sum(r8_timings.values()), 3),
         "reps": reps,
         "agg": "min",
         **probes,
@@ -215,6 +225,7 @@ def main() -> None:
         "extended_queries": ext_timings,
         "assembly_queries": asm_timings,
         "r7_queries": r7_timings,
+        "r8_queries": r8_timings,
         "sf1_queries": sf1_timings,
         "query_bw_probe_sec": bw_per_query,
         "query_par_probe_sec": par_per_query,

@@ -212,3 +212,43 @@ def test_bgp_null_components_never_bind(spark):
         [("a", "knows", None), (None, "knows", "b"), ("a", "knows", "b")],
         "subj string, pred string, obj string")
     assert match_pattern(df, [("?x", "knows", "?y")]).count() == 1
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    """The scale claim: as-of is one keyed window, never a join — no
+    candidate-pair blowup exists in the plan for AQE to mis-size."""
+    left = spark.createDataFrame([(1, 0, _ts(5))],
+                                 "lid long, k long, ts timestamp")
+    right = spark.createDataFrame([(0, _ts(3), 7)],
+                                  "k long, ts timestamp, p long")
+    plan = asof_join(left, right, on=["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    """Bucketing must turn the interval predicate into an equi-join:
+    BroadcastNestedLoopJoin (the naive BETWEEN plan) is the failure."""
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(100))], "iid long, start timestamp, end timestamp")
+    points = spark.createDataFrame([(1, _ts(50))], "pid long, ts timestamp")
+    plan = range_join(intervals, points)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bgp_pattern_literals_pushed_to_scan(tmp_path, spark):
+    """Bound pattern terms must reach the parquet scan as pushed
+    filters — at web scale that is the difference between reading one
+    predicate's row groups and reading the whole triple store."""
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    p = str(tmp_path / "triples")
+    df.write.parquet(p)
+    t = spark.read.parquet(p)
+    plan = match_pattern(t, [("?x", "knows", "?y")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "knows" in plan.split("PushedFilters:")[1][:200]
