@@ -2037,6 +2037,63 @@ def _q_semantic_dedup(spark, sf):  # SemDeDup cluster-blocked dedup
     return semantic_dedup(both, dim=dim, threshold=0.97, n_cells=8)
 
 
+def _q_str_asof_enrich(spark, sf):  # §2.9 streaming temporal enrichment
+    """Streaming twin of ev_asof_join: purchases enriched with the
+    latest prior click per user across two event-time-split
+    microbatches (single-version right state carried in the state
+    store). Batches arrive in event-time order, so the result must
+    equal the batch as-of join — the oracle is the SAME DuckDB ASOF
+    LEFT JOIN as ev_asof_join's."""
+    import os
+    import tempfile
+
+    from nous_spark.streaming.structured import streaming_asof_enrich
+
+    e = _read(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    hi = e.agg(F.max("ts").alias("m")).collect()[0].m
+    cut = F.lit(hi) - F.expr("INTERVAL 15 DAYS")
+    src = tempfile.mkdtemp(prefix="strasof_src_")
+    for i, b in enumerate([e.filter(F.col("ts") < cut),
+                           e.filter(F.col("ts") >= cut)]):
+        d = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src}/batch{i}.parquet")
+                os.utime(f"{src}/batch{i}.parquet", (1_000_000 + i,
+                                                     1_000_000 + i))
+    name = "gate_strasof"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+                "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    purchases = stream.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", "ts")
+    clicks = stream.where("event_type = 'click'").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_eid"),
+        F.col("value").alias("click_value"))
+    q = (
+        streaming_asof_enrich(purchases, clicks, on="user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "pid", "user_id",
+        F.coalesce("click_eid", F.lit(-1)).alias("click_eid"),
+        F.coalesce(F.round("click_value", 2), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(F.col("ts_us") - F.col("matched_ts_us"),
+                   F.lit(-1)).alias("gap_us"),
+    )
+
+
 def _q_asof_join(spark, sf):  # per-user last-click attribution (as-of)
     """Every purchase joined to the user's most recent click at-or-before
     it (classic attribution). Union+window implementation — one shuffle
@@ -2139,12 +2196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decimal ppm, index seg layout) are pinned in. Everything
         # demoted has one or more green driver rows already and
         # stays oracled + swept by scripts/gate_check.py. ----
-        "kg_extract_triples": _q_extract_triples,
-        # new this round (joins.py / bgp.py) — pinned into the 50:
+        # new this round (joins.py / bgp.py / semdedup.py / the
+        # streaming as-of twin) — pinned into the 50:
         "ev_asof_join": _q_asof_join,
         "ev_range_join": _q_range_join,
         "kg_bgp_match": _q_bgp_match,
         "dd_semantic_dedup": _q_semantic_dedup,
+        "str_asof_enrich": _q_str_asof_enrich,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2193,8 +2251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py. corpus_clean / a1_mis_support /
-        # g_k_core demoted this round to make room for the three new
-        # join/BGP gates — all three demotions are green in r7. ----
+        # g_k_core / g_adamic_adar / kg_extract_triples demoted this
+        # round to make room for the five new gates — every demotion
+        # has one or more green driver rows (kg_extract_triples has
+        # seven) and is unchanged this round; all stay swept and
+        # kg_extract_triples additionally stays exercised by entry()
+        # and the golden extraction tests. ----
+        "kg_extract_triples": _q_extract_triples,
         "corpus_clean": _q_corpus_clean,
         "a1_mis_support": _q_mis_support,
         "g_k_core": _q_k_core,
@@ -3929,6 +3992,26 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY user_id, session_idx
         """,
         "ev_asof_join": """
+            WITH p AS (SELECT event_id AS pid, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, event_id AS click_eid,
+                         value AS click_value
+                  FROM events WHERE event_type = 'click'
+                  QUALIFY row_number() OVER (
+                      PARTITION BY user_id, ts
+                      ORDER BY event_id DESC, value DESC) = 1)
+            SELECT p.pid, p.user_id,
+                   coalesce(c.click_eid, -1)::BIGINT AS click_eid,
+                   coalesce(round(c.click_value, 2), -1.0) AS click_value,
+                   coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT
+                     AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # the streaming twin must equal the batch as-of exactly when
+        # batches arrive in event-time order (they do: two time-split
+        # files with forced mtimes) — same oracle text
+        "str_asof_enrich": """
             WITH p AS (SELECT event_id AS pid, user_id, ts
                        FROM events WHERE event_type = 'purchase'),
             c AS (SELECT user_id, ts, event_id AS click_eid,

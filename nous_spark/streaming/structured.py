@@ -795,3 +795,132 @@ def _ivf_ingest_batch(
         occ.coalesce(1).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic").partitionBy(
             "batch_id").parquet(stats_dir)
+
+
+def streaming_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators/joins.py::asof_join`` (backward,
+    non-strict): enrich a stream of left events with the most recent
+    right row per key — the Flink "temporal table join" shape with
+    single-version state.
+
+    State per key is ONE right row (its event time + payload columns)
+    via ``applyInPandasWithState`` in append mode: bounded by the key
+    population, independent of stream volume. Within each microbatch
+    both sides merge in event-time order (right before left at equal
+    instants, the batch operator's non-strict ordering), so results
+    equal the batch as-of join EXACTLY when batches are event-time
+    ordered. Cross-batch stragglers take the standard streaming
+    relaxation: a late LEFT row is enriched with the latest right state
+    (not the historical version — single-version state cannot time
+    travel), and a late RIGHT row older than the retained one is
+    ignored (state keeps the event-time max).
+
+    Output: left's columns with the timestamp as ``ts_us`` (micros),
+    right payload columns (suffixed ``_r`` on collision, nulls before
+    the first right row), and ``matched_ts_us``.
+    """
+    import pandas as pd
+
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    pcols = [c for c in right.columns if c not in (on, right_ts)]
+    if not pcols:
+        raise ValueError("right side has no payload columns")
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    out_p = {c: (c + "_r" if c in left.columns else c) for c in pcols}
+
+    lhs = left.select(
+        F.col(on).alias("k"),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("ts_us"),
+        F.lit(1).alias("tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rdt[c]).alias(f"__p_{c}") for c in pcols],
+    )
+    rhs = right.select(
+        F.col(on).alias("k"),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("ts_us"),
+        F.lit(0).alias("tag"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__p_{c}") for c in pcols],
+    )
+    u = lhs.unionByName(rhs)
+
+    _INT_TYPES = ("tinyint", "smallint", "int", "bigint", "long")
+
+    def _coerce(dtype):
+        """Pandas renders a nullable integer column as float64; a float
+        written into a long-typed state field round-trips as null, so
+        state values must be coerced back to their declared types."""
+        if dtype in _INT_TYPES:
+            return lambda v: None if v is None or v != v else int(v)
+        if dtype in ("double", "float"):
+            return lambda v: None if v is None or v != v else float(v)
+        return lambda v: v
+
+    p_coerce = [_coerce(rdt[c]) for c in pcols]
+    l_coerce = [_coerce(ldt[c]) for c in lcols]
+
+    def update(key, pdfs, state):
+        cur = list(state.get) if state.exists else None  # [ts, p1..pn]
+        rows = []  # (ts_us, tag, left-values tuple, payload tuple)
+        for pdf in pdfs:
+            # no itertuples: pandas mangles leading-underscore names
+            ts_l = pdf["ts_us"].tolist()
+            tag_l = pdf["tag"].tolist()
+            lv = [pdf[c].tolist() for c in lcols]
+            pv = [pdf[f"__p_{c}"].tolist() for c in pcols]
+            for i in range(len(ts_l)):
+                rows.append((
+                    int(ts_l[i]), int(tag_l[i]),
+                    tuple(f(col[i]) for f, col in zip(l_coerce, lv)),
+                    tuple(f(col[i]) for f, col in zip(p_coerce, pv)),
+                ))
+        # (ts_us, tag): right (0) sorts before left (1) at equal instants
+        rows.sort(key=lambda t: (t[0], t[1]))
+        out = {c: [] for c in
+               ["ts_us", *lcols, *[f"__p_{c}" for c in pcols],
+                "matched_ts_us"]}
+        for ts, tag, lvals, pvals in rows:
+            if tag == 0:
+                if cur is None or ts >= cur[0]:
+                    cur = [ts, *pvals]
+            else:
+                out["ts_us"].append(ts)
+                for c, v in zip(lcols, lvals):
+                    out[c].append(v)
+                for i, c in enumerate(pcols):
+                    out[f"__p_{c}"].append(
+                        cur[1 + i] if cur is not None else None)
+                out["matched_ts_us"].append(
+                    cur[0] if cur is not None else None)
+        if cur is not None:
+            state.update(tuple(cur))
+        if out["ts_us"]:
+            yield pd.DataFrame(
+                {"k": [key[0]] * len(out["ts_us"]), **out})
+
+    out_schema = ", ".join(
+        [f"k {dict(u.dtypes)['k']}", "ts_us long"]
+        + [f"{c} {ldt[c]}" for c in lcols]
+        + [f"__p_{c} {rdt[c]}" for c in pcols]
+        + ["matched_ts_us long"]
+    )
+    state_schema = ", ".join(
+        ["r_ts long"] + [f"p{i} {rdt[c]}" for i, c in enumerate(pcols)]
+    )
+    res = u.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    sel = [F.col("k").alias(on), "ts_us", *lcols]
+    sel += [F.col(f"__p_{c}").alias(out_p[c]) for c in pcols]
+    sel.append(F.col("matched_ts_us"))
+    return res.select(*sel)

@@ -693,3 +693,133 @@ def test_streaming_ivf_ingest_folds_batches_idempotently(spark, tmp_path):
              spark.read.parquet(stats_dir).collect()}
     assert set(stats) == {0, 1}
     assert stats[1]["n_vectors"] == 20 and stats[1]["n_cells"] == 4
+
+
+def test_streaming_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """Two event-time-split microbatches fed in order: every left event
+    must carry exactly the batch asof_join's match, including left rows
+    in batch 2 whose matching right row arrived in batch 1 (the state
+    store carries the latest right version across the boundary) and a
+    key whose right row never arrives (null enrichment)."""
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+
+    from nous_spark.operators.joins import asof_join
+    from nous_spark.streaming.structured import streaming_asof_enrich
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def us(minutes):
+        return int((ts(minutes) - dt.datetime(1970, 1, 1))
+                   .total_seconds() * 1_000_000)
+
+    # side, k, ts, lid (left-only), p (right-only)
+    rows = [
+        ("R", 1, ts(0), None, 10.0),
+        ("L", 1, ts(5), 100, None),    # batch 1: enriched by R@0
+        ("R", 1, ts(40), None, 20.0),
+        ("L", 1, ts(50), 101, None),   # batch 2: R@40 from batch 1 state
+        ("R", 1, ts(60), None, 30.0),
+        ("L", 1, ts(70), 102, None),   # batch 2: same-batch R@60
+        ("L", 2, ts(10), 200, None),   # key 2: no right row ever -> null
+        ("L", 3, ts(80), 300, None),   # key 3: right arrives batch 2,
+        ("R", 3, ts(75), None, 40.0),  # before it in event time
+    ]
+    df = spark.createDataFrame(
+        rows, "side string, k long, ts timestamp, lid long, p double")
+    cut = ts(45)
+    src = str(tmp_path / "asrc")
+    os.makedirs(src)
+    for i, b in enumerate([df.filter(F.col("ts") < cut),
+                           df.filter(F.col("ts") >= cut)]):
+        d = str(tmp_path / f"ab{i}")
+        b.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src}/batch{i}.parquet")
+        os.utime(f"{src}/batch{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+
+    stream = spark.readStream.schema(
+        "side STRING, k LONG, ts TIMESTAMP, lid LONG, p DOUBLE"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    left_s = stream.where("side = 'L'").select("k", "ts", "lid")
+    right_s = stream.where("side = 'R'").select("k", "ts", "p")
+    q = (
+        streaming_asof_enrich(left_s, right_s, on="k")
+        .writeStream.format("memory").queryName("t_strasof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.lid): (r.ts_us, r.p, r.matched_ts_us)
+           for r in spark.table("t_strasof").collect()}
+    assert got == {
+        (1, 100): (us(5), 10.0, us(0)),
+        (1, 101): (us(50), 20.0, us(40)),
+        (1, 102): (us(70), 30.0, us(60)),
+        (2, 200): (us(10), None, None),
+        (3, 300): (us(80), 40.0, us(75)),
+    }
+    # and row-for-row parity with the batch operator
+    lb = df.filter("side = 'L'").select("k", "ts", "lid")
+    rb = df.filter("side = 'R'").select("k", "ts", "p")
+    batch = {
+        (r.k, r.lid): (
+            r.p,
+            None if r.ts_r is None else
+            int((r.ts_r - dt.datetime(1970, 1, 1)).total_seconds()
+                * 1_000_000),
+        )
+        for r in asof_join(lb, rb, on=["k"]).collect()
+    }
+    assert {k: (v[1], v[2]) for k, v in got.items()} == batch
+
+
+def test_streaming_asof_enrich_long_payload_survives_state(spark, tmp_path):
+    """Regression: pandas renders a nullable BIGINT payload column as
+    float64; un-coerced, the float written into the long-typed state
+    field round-tripped as NULL, so cross-batch matches kept the double
+    payload but lost the long one. A long payload matched from batch 1
+    state must come back intact in batch 2."""
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+
+    from nous_spark.streaming.structured import streaming_asof_enrich
+
+    t0 = dt.datetime(2024, 6, 1)
+    ts = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        ("R", 1, ts(0), None, 777),   # long payload, batch 1
+        ("L", 1, ts(50), 100, None),  # batch 2: enriched from state
+    ]
+    df = spark.createDataFrame(
+        rows, "side string, k long, ts timestamp, lid long, q long")
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    cut = ts(45)
+    for i, b in enumerate([df.filter(F.col("ts") < cut),
+                           df.filter(F.col("ts") >= cut)]):
+        d = str(tmp_path / f"qb{i}")
+        b.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src}/batch{i}.parquet")
+        os.utime(f"{src}/batch{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+    stream = spark.readStream.schema(
+        "side STRING, k LONG, ts TIMESTAMP, lid LONG, q LONG"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_asof_enrich(
+            stream.where("side = 'L'").select("k", "ts", "lid"),
+            stream.where("side = 'R'").select("k", "ts", "q"),
+            on="k")
+        .writeStream.format("memory").queryName("t_strasof_q")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_strasof_q").collect()
+    assert len(got) == 1 and got[0].q == 777 and got[0].lid == 100
