@@ -101,6 +101,7 @@ def main() -> None:
         "kg_bgp_match",
         "dd_semantic_dedup",
         "str_ivf_ingest",
+        "str_asof_enrich",
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
