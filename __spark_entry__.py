@@ -302,6 +302,75 @@ def _q_connected_components(spark, sf):  # G8 (rows-only: iterative fixpoint)
     return connected_components(e)
 
 
+def _q_cc_update(spark, sf):  # incremental canonicalization fold
+    """Base alias graph (customer<->order stars) canonicalized once,
+    then a delta (customer<->nation hub edges, merging every base star
+    of a nation plus its order-less customers) folded in with
+    ``update_components`` — the contracted-graph path at delta cost
+    (operators/graph_inc.py). Oracle: from-scratch min-propagation CC
+    over the UNION edge set, so the incremental fold is checked against
+    a full recompute in a second engine."""
+    from nous_spark.operators.graph import connected_components
+    from nous_spark.operators.graph_inc import update_components
+
+    base = _read(spark, sf, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+    )
+    delta = _read(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey") + F.lit(5_000_000)).cast("long").alias("dst"),
+    )
+    return update_components(connected_components(base), delta)
+
+
+def _q_str_cc_ingest(spark, sf):  # §2.9 streaming canonicalization
+    """Alias edges streamed in three microbatches into a persisted
+    component store (orders stars, then customer->nation merges, then
+    supplier->nation merges; auto-compaction fires at batch 2), then
+    resolved. Same full-recompute oracle as g_cc_update plus the
+    supplier edges — the streamed incremental fold must equal the
+    from-scratch batch run."""
+    import os
+    import tempfile
+
+    from nous_spark.operators.graph_inc import (
+        build_component_store,
+        resolve_component_store,
+    )
+    from nous_spark.streaming.structured import streaming_component_ingest
+
+    o = _read(spark, sf, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).cast("long").alias("dst"),
+    )
+    c = _read(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey") + F.lit(5_000_000)).cast("long").alias("dst"),
+    )
+    s = _read(spark, sf, "supplier").select(
+        (F.col("s_suppkey") + F.lit(2_000_000)).cast("long").alias("src"),
+        (F.col("s_nationkey") + F.lit(5_000_000)).cast("long").alias("dst"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="strcc_src_")
+    for i, b in enumerate([o, c, s]):
+        d = f"{src_dir}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src_dir}/batch{i}.parquet")
+                os.utime(f"{src_dir}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    store = tempfile.mkdtemp(prefix="strcc_store_") + "/store"
+    build_component_store(
+        spark.createDataFrame([], "id BIGINT, component BIGINT"),
+        store, buckets=16)
+    q = streaming_component_ingest(spark, src_dir, store,
+                                   compact_every_n_batches=2)
+    q.awaitTermination(180)
+    return resolve_component_store(spark, store)
+
+
 def _q_path_search(spark, sf):  # G3/G5, DuckDB oracle = 3-hop unrolled CTEs
     from nous_spark.operators.pathsearch import find_paths
 
@@ -2203,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": _q_bgp_match,
         "dd_semantic_dedup": _q_semantic_dedup,
         "str_asof_enrich": _q_str_asof_enrich,
+        "g_cc_update": _q_cc_update,
+        "str_cc_ingest": _q_str_cc_ingest,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2243,8 +2314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
-        "f1_valid_lines": _q_valid_lines,
-        "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
         "f12_las_reader": _q_f12_las_reader,
         "str_ivf_ingest": _q_str_ivf_ingest,
@@ -2256,7 +2325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has one or more green driver rows (kg_extract_triples has
         # seven) and is unchanged this round; all stay swept and
         # kg_extract_triples additionally stays exercised by entry()
-        # and the golden extraction tests. ----
+        # and the golden extraction tests. f1_valid_lines /
+        # f2_normalize_fields (5 green driver rounds each, unchanged)
+        # demoted for the incremental-canonicalization pair. ----
+        "f1_valid_lines": _q_valid_lines,
+        "f2_normalize_fields": _q_normalize_fields,
         "kg_extract_triples": _q_extract_triples,
         "corpus_clean": _q_corpus_clean,
         "a1_mis_support": _q_mis_support,
@@ -2794,6 +2867,91 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(preds, '->') AS pred_chain,
                    array_to_string(list_transform(path, x -> x::VARCHAR), '->') AS path_str
             FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        """,
+        "g_cc_update": """
+            -- from-scratch CC over base UNION delta: the incremental
+            -- fold must match a full recompute. Min-propagation rounds:
+            -- the graph is order-stars + nation hubs, max distance from
+            -- a component's min custkey is 3 (min cust -> hub -> other
+            -- cust -> its order); c4 adds one round of margin.
+            WITH e AS (
+              SELECT o_custkey::BIGINT AS a,
+                     (o_orderkey + 1000000)::BIGINT AS b FROM orders
+              UNION ALL
+              SELECT c_custkey::BIGINT,
+                     (c_nationkey + 5000000)::BIGINT FROM customer),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id)
+            SELECT id, component FROM c4
+        """,
+        "str_cc_ingest": """
+            -- same full recompute as g_cc_update plus the supplier
+            -- batch; the streamed store (3 microbatches, compaction at
+            -- batch 2) must resolve identically. Supplier nodes sit at
+            -- distance 2 from their component's min custkey, so the
+            -- 4-round propagation still has a round of margin.
+            WITH e AS (
+              SELECT o_custkey::BIGINT AS a,
+                     (o_orderkey + 1000000)::BIGINT AS b FROM orders
+              UNION ALL
+              SELECT c_custkey::BIGINT,
+                     (c_nationkey + 5000000)::BIGINT FROM customer
+              UNION ALL
+              SELECT (s_suppkey + 2000000)::BIGINT,
+                     (s_nationkey + 5000000)::BIGINT FROM supplier),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id)
+            SELECT id, component FROM c4
         """,
         "g8_connected_components": """
             WITH sym AS (SELECT DISTINCT a, b FROM (

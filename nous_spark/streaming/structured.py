@@ -924,3 +924,62 @@ def streaming_asof_enrich(
     sel += [F.col(f"__p_{c}").alias(out_p[c]) for c in pcols]
     sel.append(F.col("matched_ts_us"))
     return res.select(*sel)
+
+
+def streaming_component_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    schema: str = "src BIGINT, dst BIGINT",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    compact_every_n_batches: int | None = None,
+):
+    """Continuous canonicalization: a stream of alias edges (new
+    crawl's mention->entity merges) folds into a persisted COMPONENT
+    STORE (operators/graph_inc.py), so every later probe resolves ids
+    to their up-to-date canonical root — the graph-side twin of
+    ``streaming_index_dedup`` / ``streaming_ivf_ingest``, closing the
+    north rule's canonicalization stage for the incremental case: no
+    full connected-components re-run per increment.
+
+    Effectively-once under replay by the shared keyed-overwrite
+    contract: each microbatch is ``update_component_store(update_id=
+    batch_id)``, whose writes land under ``seg=u<batch_id>`` with
+    dynamic partition overwrite and whose reads exclude that segment —
+    a torn attempt is replaced byte-for-byte by the replay (the update
+    is deterministic given the pre-batch store state).
+
+    ``compact_every_n_batches`` folds the remap log into the base
+    mapping at the START of every n-th batch, off the probe path,
+    excluding the current batch's own (possibly torn) segment so its
+    replay can still replace it — the streaming index's auto-compaction
+    pattern. Returns the started StreamingQuery."""
+    from nous_spark.operators.graph_inc import (
+        compact_component_store,
+        update_component_store,
+    )
+
+    checkpoint_dir = checkpoint_dir or f"{store_path}/_stream_checkpoint"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if (compact_every_n_batches and batch_id > 0
+                and batch_id % compact_every_n_batches == 0):
+            compact_component_store(spark, store_path,
+                                    exclude_segs=(f"u{batch_id}",))
+        update_component_store(spark, batch_df, store_path,
+                               update_id=batch_id, src=src, dst=dst)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
