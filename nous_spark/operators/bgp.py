@@ -45,6 +45,7 @@ def match_pattern(
     obj_col: str = "obj",
     distinct: bool = False,
     allow_cartesian: bool = False,
+    optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns against ``triples`` and
     return one row per binding of the pattern's variables.
@@ -63,6 +64,16 @@ def match_pattern(
     shared across patterns (inner-join semantics) — and are filtered
     from single-pattern scans too, keeping one-pattern and multi-pattern
     queries consistent.
+
+    ``optionals`` — SPARQL OPTIONAL groups: each group (itself a
+    pattern list) is matched as its own BGP and LEFT-joined on the
+    variables it shares with the required block, so its new variables
+    come back NULL where the group has no match. Only well-designed
+    queries are accepted: a group must share at least one variable with
+    the required block (anything else is a disguised cross join), and
+    two groups may not introduce the same new variable (SPARQL's
+    compatibility-merge semantics for that case are not left-join
+    expressible; split the query instead).
     """
     if not patterns:
         raise ValueError("patterns must be non-empty")
@@ -134,6 +145,105 @@ def match_pattern(
             else out.crossJoin(df)
         )
         seen |= vars_i
+    introduced: set[str] = set()
+    for g, grp in enumerate(optionals or []):
+        gdf = match_pattern(
+            triples, grp, subj_col, pred_col, obj_col,
+            allow_cartesian=allow_cartesian,
+        )
+        shared = sorted(seen & set(gdf.columns))
+        if not shared:
+            raise ValueError(
+                f"optional group {g} shares no variable with the "
+                "required patterns (not well-designed)"
+            )
+        dup = set(gdf.columns) & introduced
+        if dup:
+            raise ValueError(
+                f"optional group {g} references variable(s) "
+                f"{sorted(dup)} bound by an earlier optional group — "
+                "joining on a possibly-NULL binding is not left-join "
+                "expressible; split the query"
+            )
+        introduced |= set(gdf.columns) - seen
+        out = out.join(gdf, on=shared, how="left")
+        seen |= set(gdf.columns)
     if distinct:
         out = out.distinct()
     return out
+
+
+def match_union(
+    triples: DataFrame,
+    *alternatives: Sequence[tuple[str, str, str]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: each alternative is its own BGP; bindings concat
+    with bag semantics, variables absent from an alternative coming
+    back NULL (``unionByName(allowMissingColumns=True)``, exactly the
+    SPARQL unbound behaviour)."""
+    if not alternatives:
+        raise ValueError("at least one alternative required")
+    out = None
+    for alt in alternatives:
+        m = match_pattern(triples, alt, subj_col, pred_col, obj_col)
+        out = m if out is None else out.unionByName(
+            m, allowMissingColumns=True)
+    return out.distinct() if distinct else out
+
+
+def match_path(
+    triples: DataFrame,
+    pred: str,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Bounded SPARQL property path ``pred{min_hops,max_hops}``:
+    distinct (src, dst, hops) pairs connected by a chain of 1..k
+    ``pred`` edges, ``hops`` = the SHORTEST chain length within the
+    bound (existence semantics — each reachable pair appears once, not
+    once per path).
+
+    Scale shape: BFS by join rounds. The single-predicate edge list is
+    one partition-pruned scan of a by-predicate triple store
+    (sources/sinks.py write_triples); each round is one equi-join of
+    the frontier against it, and the frontier is DEDUPED to distinct
+    pairs per round, so cyclic/dense graphs cost |reachable pairs| per
+    round, never path-multiplicity. Unbounded ``p+`` is deliberately
+    not offered — at web scale an unbounded transitive closure is a
+    quadratic output; callers pick the bound they can afford (the same
+    stance as pathsearch.find_paths' max_hops).
+    """
+    if not (1 <= min_hops <= max_hops):
+        raise ValueError("need 1 <= min_hops <= max_hops")
+    e = (
+        triples.filter(F.col(pred_col) == F.lit(pred))
+        .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    frontier = e.withColumn("hops", F.lit(1))
+    acc = frontier
+    for k in range(2, max_hops + 1):
+        frontier = (
+            frontier.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(e.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+            .withColumn("hops", F.lit(k))
+        )
+        acc = acc.unionByName(frontier)
+    # length filter BEFORE the min: SPARQL p{m,n} matches a pair with
+    # SOME path of length in [m, n] even when a shorter out-of-range
+    # path exists, so `hops` is the shortest length WITHIN the bound
+    return (
+        acc.filter(F.col("hops").between(min_hops, max_hops))
+        .groupBy("src", "dst")
+        .agg(F.min("hops").alias("hops"))
+    )

@@ -252,3 +252,100 @@ def test_bgp_pattern_literals_pushed_to_scan(tmp_path, spark):
         .executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "knows" in plan.split("PushedFilters:")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / UNION / property paths
+# ---------------------------------------------------------------------------
+
+
+def test_bgp_optional_matches_brute_force_left_join(spark):
+    """OPTIONAL = left join on shared vars: type bindings where they
+    exist, NULL where not (there is no ("c", "likes", ...) triple
+    giving c a liked target)."""
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = match_pattern(
+        df, [("?x", "knows", "?y")],
+        optionals=[[("?y", "likes", "?l")]],
+    )
+    req = _brute_bgp([("?x", "knows", "?y")])
+    opt = _brute_bgp([("?y", "likes", "?l")])
+    want = []
+    for env in req:
+        hits = [o for o in opt if o["y"] == env["y"]]
+        if hits:
+            want += [(env["x"], env["y"], h["l"]) for h in hits]
+        else:
+            want.append((env["x"], env["y"], None))
+    key = lambda t: tuple("" if v is None else v for v in t)
+    rows = sorted(((r.x, r.y, r.l) for r in got.collect()), key=key)
+    assert rows == sorted(want, key=key)
+
+
+def test_bgp_optional_refusals(spark):
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(df, [("?x", "knows", "?y")],
+                      optionals=[[("?a", "likes", "?b")]])
+    with pytest.raises(ValueError, match="earlier optional group"):
+        match_pattern(df, [("?x", "knows", "?y")],
+                      optionals=[[("?x", "likes", "?l")],
+                                 [("?y", "likes", "?l")]])
+
+
+def test_bgp_union_aligns_variables_with_nulls(spark):
+    from nous_spark.operators.bgp import match_union
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = match_union(
+        df,
+        [("?x", "type", "robot")],
+        [("?x", "likes", "?l")],
+    )
+    assert sorted(got.columns) == ["l", "x"]
+    rows = sorted((r.x, r.l) for r in got.collect()
+                  if r.l is not None) + sorted(
+        (r.x, r.l) for r in got.collect() if r.l is None)
+    assert rows == [("a", "c"), ("b", "b"), ("c", None)]
+
+
+def test_match_path_bfs_brute_force(spark):
+    """Bounded path over a cyclic graph vs a Python BFS per source."""
+    from nous_spark.operators.bgp import match_path
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    edges = {(s, o) for s, p, o in TRIPLES if p == "knows"}
+    nodes = {s for s, _ in edges} | {o for _, o in edges}
+
+    def bfs(src, max_hops):
+        # exact-length reachability: a node first reached by a k-edge
+        # walk records k, INCLUDING src itself via a cycle (a->c->a is
+        # a legitimate 2-hop match of knows{1,2})
+        dist = {}
+        frontier = {src}
+        for k in range(1, max_hops + 1):
+            frontier = {o for s, o in edges if s in frontier}
+            for n in frontier:
+                dist.setdefault(n, k)
+        return dist
+
+    for lo, hi in ((1, 1), (1, 2), (1, 3)):
+        got = sorted((r.src, r.dst, r.hops)
+                     for r in match_path(df, "knows",
+                                         min_hops=lo, max_hops=hi).collect())
+        want = sorted(
+            (s, d, k) for s in nodes
+            for d, k in bfs(s, hi).items() if lo <= k <= hi)
+        assert got == want, (lo, hi)
+
+
+def test_match_path_in_range_beats_shorter_out_of_range(spark):
+    """SPARQL p{2,2}: a pair ALSO adjacent at 1 hop still matches when
+    a 2-edge path exists (a->b->c and a->c directly)."""
+    from nous_spark.operators.bgp import match_path
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = {(r.src, r.dst): r.hops
+           for r in match_path(df, "knows", min_hops=2, max_hops=2).collect()}
+    assert got[("a", "c")] == 2  # direct 1-hop edge exists too
+    assert ("a", "b") not in got or got[("a", "b")] == 2
