@@ -102,6 +102,10 @@ def main() -> None:
         "dd_semantic_dedup",
         "str_ivf_ingest",
         "str_asof_enrich",
+        "g_cc_update",
+        "str_cc_ingest",
+        "kg_bgp_optional",
+        "kg_path_reach",
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}

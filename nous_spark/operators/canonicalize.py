@@ -16,7 +16,7 @@ rewrite join key — see ``materialize.write_triples``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nous_spark.operators.graph import connected_components
@@ -150,3 +150,236 @@ def canonicalize(
     )
     mapping = canonical_mapping(edges)
     return rewrite_triples(triples, mapping), mapping
+
+
+# ---------------------------------------------------------------------------
+# Incremental canonical store: component store over labels + an LSM
+# representative log, exact batch parity under incremental folds
+# ---------------------------------------------------------------------------
+
+
+def _rep_struct(label_col: str):
+    # the batch rule (canonical_mapping): longest label wins, ties to
+    # the lexicographically smallest — a total order, so the argmin is
+    # associative/commutative and therefore incrementally maintainable
+    return F.struct((-F.length(label_col)).alias("neg_len"),
+                    F.col(label_col).alias("label"))
+
+
+def build_canonical_store(
+    alias_edges: DataFrame,
+    path: str,
+    buckets: int = 64,
+) -> None:
+    """Persist an incrementally updatable canonical mapping:
+
+    - ``{path}/cc`` — a component store (operators/graph_inc.py) over
+      the LABELS themselves (component root = min label; internal
+      bookkeeping only, never the canonical representative).
+    - ``{path}/reps`` — the representative log: per segment, the best
+      (longest, then lexicographically smallest) label CANDIDATE per
+      root as of that write. Because the rep rule is an associative
+      argmin and every label contributes a candidate when it enters,
+      the final rep of a root is the argmin over all log rows whose
+      stored root RESOLVES to it through the cc store's remap log —
+      merges never have to re-scan component members, and the result
+      is exactly the batch ``canonical_mapping`` representative
+      (parity pinned by tests). Rows are bucket-partitioned by the
+      stored root's hash so probes prune to the touched roots' (and
+      their remap preimages') buckets.
+    """
+    from nous_spark.operators.graph_inc import build_component_store
+
+    edges = alias_edges.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b")))
+    comp = connected_components(edges, "a", "b")
+    build_component_store(comp, f"{path}/cc", buckets=buckets)
+    (
+        comp.groupBy("component")
+        .agg(F.min(_rep_struct("id"))["label"].alias("rep"))
+        .select(
+            F.col("component").alias("root"), "rep",
+            F.pmod(F.xxhash64("component"), F.lit(buckets)).alias("bucket"),
+        )
+        .withColumn("seg", F.lit("base"))
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket", "seg")
+        .parquet(f"{path}/reps")
+    )
+
+
+def update_canonical_store(
+    spark: SparkSession,
+    alias_edges: DataFrame,
+    path: str,
+    update_id: int,
+) -> dict:
+    """Fold a delta alias-edge set into the canonical store under
+    segment ``u<update_id>`` — same keyed-overwrite idempotency
+    contract as the component store it wraps (reads exclude the
+    update's own segment; a torn attempt is replaced byte-for-byte).
+
+    Cost ∝ delta: the cc fold is ``update_component_store``; the rep
+    log gains one row per post-update root among the delta's NEW
+    labels (read back from the update's own freshly written mapping
+    segment — a one-segment scan). Merged components need no rep
+    recompute at all: their old candidates re-root through the remap
+    log at read time."""
+    from nous_spark.operators.graph_inc import update_component_store
+
+    seg = f"u{update_id}"
+    edges = alias_edges.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b")))
+    stats = update_component_store(spark, edges, f"{path}/cc",
+                                   update_id=update_id, src="a", dst="b")
+    meta = spark.read.parquet(f"{path}/cc/meta").collect()[0]
+    new_rows = spark.read.schema(
+        f"id {meta.id_type}, component {meta.id_type}, "
+        "bucket BIGINT, seg STRING"
+    ).parquet(f"{path}/cc/mapping").filter(F.col("seg") == seg)
+    (
+        new_rows.groupBy("component")
+        .agg(F.min(_rep_struct("id"))["label"].alias("rep"))
+        .select(
+            F.col("component").alias("root"), "rep",
+            F.pmod(F.xxhash64("component"),
+                   F.lit(meta.buckets)).alias("bucket"),
+        )
+        .withColumn("seg", F.lit(seg))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "seg")
+        .parquet(f"{path}/reps")
+    )
+    return stats
+
+
+def resolve_canonical_store(
+    spark: SparkSession,
+    path: str,
+    labels: DataFrame | None = None,
+    exclude_segs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Current (label, canonical_label, canonical_id) view — the same
+    schema ``canonical_mapping`` returns, batch-parity by construction.
+    ``labels`` (a one-column ``id`` frame) prunes the cc read to the
+    touched buckets AND the rep read to the probed roots' buckets plus
+    their remap-preimage buckets (the flattened remap log is small, so
+    the preimage key set is driver-computable)."""
+    from nous_spark.operators.graph_inc import (
+        _flatten_remap,
+        _read_remap,
+        resolve_component_store,
+    )
+
+    meta = spark.read.parquet(f"{path}/cc/meta").collect()[0]
+    cc = resolve_component_store(spark, f"{path}/cc", ids=labels,
+                                 exclude_segs=exclude_segs)
+    remap_rows = _read_remap(spark, path + "/cc", meta.id_type,
+                             exclude_segs=exclude_segs)
+    flat = dict(_flatten_remap(remap_rows))
+    reps = spark.read.schema(
+        f"root {meta.id_type}, rep {meta.id_type}, "
+        "bucket BIGINT, seg STRING"
+    ).parquet(f"{path}/reps")
+    if exclude_segs:
+        reps = reps.filter(~F.col("seg").isin(*exclude_segs))
+    if labels is not None:
+        roots = {r.component for r in cc.select("component")
+                 .distinct().collect()}
+        keys = roots | {old for old, new in flat.items() if new in roots}
+        kdf = spark.createDataFrame(
+            [(k,) for k in sorted(keys)], schema=f"root {meta.id_type}")
+        bks = [r.b for r in kdf.select(
+            F.pmod(F.xxhash64("root"),
+                   F.lit(meta.buckets)).alias("b")).distinct().collect()]
+        reps = reps.filter(F.col("bucket").isin(bks)).join(kdf, "root")
+    if flat:
+        rmap = spark.createDataFrame(
+            sorted(flat.items()),
+            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        reps = (
+            reps.join(F.broadcast(rmap), "root", "left")
+            .withColumn("root", F.coalesce("__new", "root"))
+            .drop("__new")
+        )
+    final_reps = (
+        reps.groupBy("root")
+        .agg(F.min(_rep_struct("rep"))["label"].alias("canonical_label"))
+    )
+    return (
+        cc.join(final_reps, cc["component"] == final_reps["root"])
+        .select(
+            F.col("id").alias("label"),
+            "canonical_label",
+            F.xxhash64("canonical_label").alias("canonical_id"),
+        )
+    )
+
+
+def compact_canonical_store(
+    spark: SparkSession,
+    path: str,
+    exclude_segs: tuple[str, ...] = (),
+) -> dict:
+    """Fold both logs: resolve + argmin the rep log into ``seg=base``
+    FIRST (it needs the cc remap log, which the cc compaction deletes),
+    then compact the cc store. Crash between the two leaves a folded
+    rep table plus a live remap log — harmless, the remap no-ops on
+    already-resolved rep roots, and the next compaction converges."""
+    from nous_spark.operators.graph_inc import (
+        _flatten_remap,
+        _read_remap,
+        compact_component_store,
+    )
+
+    meta = spark.read.parquet(f"{path}/cc/meta").collect()[0]
+    reps = spark.read.schema(
+        f"root {meta.id_type}, rep {meta.id_type}, "
+        "bucket BIGINT, seg STRING"
+    ).parquet(f"{path}/reps")
+    keep = reps.filter(F.col("seg").isin(*exclude_segs)) if exclude_segs \
+        else None
+    fold = reps.filter(~F.col("seg").isin(*exclude_segs)) if exclude_segs \
+        else reps
+    flat = dict(_flatten_remap(_read_remap(
+        spark, path + "/cc", meta.id_type, exclude_segs=exclude_segs)))
+    if flat:
+        rmap = spark.createDataFrame(
+            sorted(flat.items()),
+            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        fold = (
+            fold.join(F.broadcast(rmap), "root", "left")
+            .withColumn("root", F.coalesce("__new", "root"))
+            .drop("__new")
+        )
+    folded = (
+        fold.groupBy("root")
+        .agg(F.min(_rep_struct("rep"))["label"].alias("rep"))
+        .select(
+            "root", "rep",
+            F.pmod(F.xxhash64("root"), F.lit(meta.buckets)).alias("bucket"),
+        )
+        .withColumn("seg", F.lit("base"))
+    )
+    if keep is not None:
+        folded = folded.unionByName(
+            keep.select("root", "rep", "bucket", "seg"))
+
+    def swap(tmp, live):
+        jvm = spark._jvm
+        p_live = jvm.org.apache.hadoop.fs.Path(live)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_live.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p_live, True)
+        if not fs.rename(p_tmp, p_live):
+            raise IOError(f"compaction swap failed: {tmp} -> {live}")
+
+    folded.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket", "seg").parquet(f"{path}/reps_compact_tmp")
+    swap(f"{path}/reps_compact_tmp", f"{path}/reps")
+    return compact_component_store(spark, f"{path}/cc",
+                                   exclude_segs=exclude_segs)

@@ -207,3 +207,106 @@ def test_streaming_component_ingest(spark, tmp_path):
     q.awaitTermination(120)
     got = _rows(resolve_component_store(spark, path))
     assert got == _full(spark, [e for b in batches for e in b])
+
+
+# ---------------------------------------------------------------------------
+# incremental canonical store (labels + representative log)
+# ---------------------------------------------------------------------------
+
+ALIAS_EDGES = [
+    # component 1: short aliases of one long name (rep = the longest)
+    ("acme", "Acme Corporation"), ("ACME Inc", "Acme Corporation"),
+    # component 2: two equally long labels (rep = lexicographic min)
+    ("alpha", "omega"), ("omega", "gamma"),
+    # component 3: a chain whose longest label arrives LAST (update 2)
+    ("bb", "cc"),
+]
+LATE_EDGES = [
+    ("cc", "a-very-long-canonical-name"),   # longest joins component 3
+    ("gamma", "delta"),                      # extends component 2
+    ("new1", "new2"),                        # brand-new component
+]
+
+
+def _canon_rows(df):
+    return sorted((r.label, r.canonical_label, r.canonical_id)
+                  for r in df.collect())
+
+
+def test_canonical_store_parity_with_batch(spark, tmp_path):
+    """Build from the base edges, fold the late edges in, resolve:
+    byte-equal to batch canonical_mapping over the union — including
+    the representative rule (longest label, ties lexicographic) and
+    canonical_id hashes."""
+    from nous_spark.operators.canonicalize import (
+        build_canonical_store,
+        canonical_mapping,
+        resolve_canonical_store,
+        update_canonical_store,
+    )
+
+    path = str(tmp_path / "canon")
+    build_canonical_store(
+        spark.createDataFrame(ALIAS_EDGES, ["a", "b"]), path, buckets=8)
+    update_canonical_store(
+        spark, spark.createDataFrame(LATE_EDGES, ["a", "b"]), path,
+        update_id=1)
+    got = _canon_rows(resolve_canonical_store(spark, path))
+    want = _canon_rows(canonical_mapping(
+        spark.createDataFrame(ALIAS_EDGES + LATE_EDGES, ["a", "b"])))
+    assert got == want
+    # the late-arriving longest label must have taken over component 3
+    as_map = {l: c for l, c, _ in got}
+    assert as_map["bb"] == "a-very-long-canonical-name"
+    # tie in component 2 resolves lexicographically (alpha/delta/gamma/
+    # omega all length 5 -> alpha)
+    assert as_map["omega"] == "alpha"
+
+
+def test_canonical_store_probe_and_torn_replay(spark, tmp_path):
+    from nous_spark.operators.canonicalize import (
+        build_canonical_store,
+        resolve_canonical_store,
+        update_canonical_store,
+    )
+
+    path = str(tmp_path / "canon")
+    build_canonical_store(
+        spark.createDataFrame(ALIAS_EDGES, ["a", "b"]), path, buckets=8)
+    delta = spark.createDataFrame(LATE_EDGES, ["a", "b"])
+    update_canonical_store(spark, delta, path, update_id=1)  # torn
+    first = _canon_rows(resolve_canonical_store(spark, path))
+    update_canonical_store(spark, delta, path, update_id=1)  # replay
+    assert _canon_rows(resolve_canonical_store(spark, path)) == first
+    # probe: only the asked-for labels come back, already re-rooted
+    probe = resolve_canonical_store(
+        spark, path, labels=spark.createDataFrame([("bb",)], ["id"]))
+    assert _canon_rows(probe) == [
+        r for r in first if r[0] == "bb"]
+
+
+def test_canonical_store_compaction_preserves_resolution(spark, tmp_path):
+    from nous_spark.operators.canonicalize import (
+        build_canonical_store,
+        compact_canonical_store,
+        resolve_canonical_store,
+        update_canonical_store,
+    )
+
+    path = str(tmp_path / "canon")
+    build_canonical_store(
+        spark.createDataFrame(ALIAS_EDGES, ["a", "b"]), path, buckets=8)
+    update_canonical_store(
+        spark, spark.createDataFrame(LATE_EDGES, ["a", "b"]), path,
+        update_id=1)
+    before = _canon_rows(resolve_canonical_store(spark, path))
+    compact_canonical_store(spark, path)
+    assert _canon_rows(resolve_canonical_store(spark, path)) == before
+    assert not os.path.exists(f"{path}/cc/remap")
+    # still updatable afterwards: merge components 1 and 3
+    update_canonical_store(
+        spark, spark.createDataFrame([("acme", "bb")], ["a", "b"]), path,
+        update_id=2)
+    got = {r.label: r.canonical_label
+           for r in resolve_canonical_store(spark, path).collect()}
+    assert got["Acme Corporation"] == "a-very-long-canonical-name"
