@@ -371,6 +371,49 @@ def _q_str_cc_ingest(spark, sf):  # §2.9 streaming canonicalization
     return resolve_component_store(spark, store)
 
 
+def _q_canonical_update(spark, sf):  # incremental canonical store
+    """Persisted canonical store (component store + representative log,
+    operators/canonicalize.py): built from customer<->nation alias
+    stars, then a delta folded in that BOTH adds labels
+    (supplier<->nation) and MERGES components (nation<->region collapses
+    each region's five nation stars into one), forcing the remap-log
+    re-rooting path for the rep argmin. Oracle: from-scratch
+    min-propagation CC over the union edge set plus a window argmax for
+    the rep rule (longest label, ties lexicographic) — the incremental
+    store must resolve identically to a second engine's full
+    recompute."""
+    import tempfile
+
+    from nous_spark.operators.canonicalize import (
+        build_canonical_store,
+        resolve_canonical_store,
+        update_canonical_store,
+    )
+
+    cust = _read(spark, sf, "customer")
+    nat = _read(spark, sf, "nation")
+    reg = _read(spark, sf, "region")
+    sup = _read(spark, sf, "supplier")
+    base = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_name").alias("a"), F.col("n_name").alias("b")
+    )
+    delta = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("s_name").alias("a"), F.col("n_name").alias("b"))
+        .unionByName(
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+                F.col("n_name").alias("a"), F.col("r_name").alias("b")
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="canonstore_") + "/store"
+    build_canonical_store(base, path, buckets=16)
+    update_canonical_store(spark, delta, path, update_id=1)
+    return resolve_canonical_store(spark, path).select(
+        "label", "canonical_label"
+    )
+
+
 def _q_path_search(spark, sf):  # G3/G5, DuckDB oracle = 3-hop unrolled CTEs
     from nous_spark.operators.pathsearch import find_paths
 
@@ -2341,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_cc_ingest": _q_str_cc_ingest,
         "kg_bgp_optional": _q_bgp_optional,
         "kg_path_reach": _q_path_reach,
+        "kg_canonical_update": _q_canonical_update,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2370,7 +2414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j11_prefix_match": _q_j11_prefix_match,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
         "s5_autodetect": _q_s5_autodetect,
-        "s10_lg_reader": _q_s10_lg_reader,
         "s12_topic_reader": _q_s12_topic_reader,
         "w3_argmax_entity": _q_w3_argmax_entity,
         "a1_mis_exact": _q_mis_exact,
@@ -2394,7 +2437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # f2_normalize_fields / txt_token_count / a13_type_cooccurrence
         # (4-5 green driver rounds each, all unchanged this round)
         # demoted for the incremental-canonicalization pair and the
-        # OPTIONAL/property-path pair. ----
+        # OPTIONAL/property-path pair; s10_lg_reader (driver-green,
+        # unchanged) demoted for kg_canonical_update. ----
+        "s10_lg_reader": _q_s10_lg_reader,
         "f1_valid_lines": _q_valid_lines,
         "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
@@ -2968,6 +3013,62 @@ def oracle_sql() -> dict[str, str]:
                      UNION ALL SELECT * FROM r3)
             SELECT a AS src, b AS dst, min(hops) AS hops
             FROM allr GROUP BY a, b
+        """,
+        "kg_canonical_update": """
+            -- full recompute of the canonical mapping over base UNION
+            -- delta alias edges: string-keyed min-propagation CC (the
+            -- component root is bookkeeping only), then the rep rule
+            -- (longest label, ties lexicographic) as a window argmax.
+            -- Max distance from a component's min label (always some
+            -- Customer#... name) is 4 (cust -> nation -> region ->
+            -- nation' -> cust'/supp'); c5 adds a round of margin.
+            WITH e AS (
+              SELECT c.c_name AS a, n.n_name AS b
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT s.s_name, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT n.n_name, r.r_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id),
+            c5 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c4
+                   UNION ALL
+                   SELECT sym.a AS id, c4.component FROM sym JOIN c4 ON c4.id = sym.b)
+                 GROUP BY id),
+            rep AS (SELECT component, id AS canonical_label,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY length(id) DESC, id ASC) AS rn
+                   FROM c5)
+            SELECT l.id AS label, r.canonical_label
+            FROM c5 l JOIN rep r ON l.component = r.component AND r.rn = 1
         """,
         "g_cc_update": """
             -- from-scratch CC over base UNION delta: the incremental
