@@ -414,6 +414,63 @@ def _q_canonical_update(spark, sf):  # incremental canonical store
     )
 
 
+def _q_triple_store(spark, sf):  # incremental materialized triple table
+    """Incremental triple store (operators/triple_store.py): built from
+    order-placement triples + customer<->nation alias stars, then one
+    increment folds in supplier triples plus an alias delta whose
+    nation<->region edges MERGE each region's five components — the
+    store must answer with every stored triple rewritten through the
+    POST-merge canonicalization, paid for with a per-dethroned-rep
+    patch log, never a corpus rewrite. Oracle: full-recompute canonical
+    mapping (string min-propagation CC + window-argmax rep) applied to
+    the union triple set with left-join rewrites of subj and obj."""
+    import tempfile
+
+    from nous_spark.operators.triple_store import (
+        build_triple_store,
+        read_triple_store,
+        update_triple_store,
+    )
+
+    cust = _read(spark, sf, "customer")
+    nat = _read(spark, sf, "nation")
+    reg = _read(spark, sf, "region")
+    sup = _read(spark, sf, "supplier")
+    base_edges = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_name").alias("a"), F.col("n_name").alias("b")
+    )
+    base_triples = (
+        _read(spark, sf, "orders")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("placed").alias("pred"),
+            F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+            .alias("obj"),
+        )
+    )
+    delta_edges = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("s_name").alias("a"), F.col("n_name").alias("b"))
+        .unionByName(
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+                F.col("n_name").alias("a"), F.col("r_name").alias("b")
+            )
+        )
+    )
+    delta_triples = sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
+        F.col("s_name").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    path = tempfile.mkdtemp(prefix="triplestore_") + "/store"
+    build_triple_store(base_triples, base_edges, path, buckets=16,
+                       salt_buckets=4)
+    update_triple_store(spark, delta_triples, delta_edges, path,
+                        update_id=1, salt_buckets=4)
+    return read_triple_store(spark, path)
+
+
 def _q_path_search(spark, sf):  # G3/G5, DuckDB oracle = 3-hop unrolled CTEs
     from nous_spark.operators.pathsearch import find_paths
 
@@ -2385,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _q_bgp_optional,
         "kg_path_reach": _q_path_reach,
         "kg_canonical_update": _q_canonical_update,
+        "kg_triple_store": _q_triple_store,
         "a9_semantic_relatedness": _q_a9_semantic_relatedness,
         "dd_substring_spans": _q_substring_spans,
         "ds_mixture_sample": _q_mixture_sample,
@@ -2414,7 +2472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j11_prefix_match": _q_j11_prefix_match,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
         "s5_autodetect": _q_s5_autodetect,
-        "s12_topic_reader": _q_s12_topic_reader,
         "w3_argmax_entity": _q_w3_argmax_entity,
         "a1_mis_exact": _q_mis_exact,
         "a6_edge_signatures": _q_edge_signatures,
@@ -2437,9 +2494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # f2_normalize_fields / txt_token_count / a13_type_cooccurrence
         # (4-5 green driver rounds each, all unchanged this round)
         # demoted for the incremental-canonicalization pair and the
-        # OPTIONAL/property-path pair; s10_lg_reader (driver-green,
-        # unchanged) demoted for kg_canonical_update. ----
+        # OPTIONAL/property-path pair; s10_lg_reader / s12_topic_reader
+        # (driver-green, unchanged) demoted for kg_canonical_update and
+        # kg_triple_store. ----
         "s10_lg_reader": _q_s10_lg_reader,
+        "s12_topic_reader": _q_s12_topic_reader,
         "f1_valid_lines": _q_valid_lines,
         "f2_normalize_fields": _q_normalize_fields,
         "txt_token_count": _q_token_count,
@@ -3069,6 +3128,75 @@ def oracle_sql() -> dict[str, str]:
                    FROM c5)
             SELECT l.id AS label, r.canonical_label
             FROM c5 l JOIN rep r ON l.component = r.component AND r.rn = 1
+        """,
+        "kg_triple_store": """
+            -- full recompute: canonical mapping over base UNION delta
+            -- alias edges (same string CC + rep argmax as
+            -- kg_canonical_update), applied to the union triple set
+            -- with left-join rewrites — the incrementally maintained
+            -- store (segments + rep-patch log) must read back
+            -- identically.
+            WITH e AS (
+              SELECT c.c_name AS a, n.n_name AS b
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT s.s_name, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT n.n_name, r.r_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id),
+            c5 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c4
+                   UNION ALL
+                   SELECT sym.a AS id, c4.component FROM sym JOIN c4 ON c4.id = sym.b)
+                 GROUP BY id),
+            rep AS (SELECT component, id AS canonical_label,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY length(id) DESC, id ASC) AS rn
+                   FROM c5),
+            mp AS (SELECT l.id AS label, r.canonical_label
+                  FROM c5 l JOIN rep r
+                    ON l.component = r.component AND r.rn = 1),
+            t AS (
+              SELECT c.c_name AS subj, 'placed' AS pred,
+                     'O' || o.o_orderkey AS obj
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT s.s_name, 'located_in', n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+            SELECT coalesce(ms.canonical_label, t.subj) AS subj,
+                   t.pred,
+                   coalesce(mo.canonical_label, t.obj) AS obj
+            FROM t
+            LEFT JOIN mp ms ON t.subj = ms.label
+            LEFT JOIN mp mo ON t.obj = mo.label
         """,
         "g_cc_update": """
             -- from-scratch CC over base UNION delta: the incremental

@@ -383,3 +383,94 @@ def compact_canonical_store(
     swap(f"{path}/reps_compact_tmp", f"{path}/reps")
     return compact_component_store(spark, f"{path}/cc",
                                    exclude_segs=exclude_segs)
+
+
+def _final_reps(
+    spark: SparkSession,
+    path: str,
+    roots: set,
+    exclude_segs: tuple[str, ...] = (),
+) -> dict:
+    """Final representative per asked-for root — ``{input_root: rep}``
+    for a DRIVER-SIDE root key set (∝ one update's touched components,
+    by construction of the callers), under the store state with
+    ``exclude_segs`` removed. Each input root is resolved through the
+    (excluded-state) remap log, the rep log is read bucket-pruned to
+    the resolved roots plus their remap preimages, and the argmin is
+    mapped back to the input keys. Roots with no candidates under the
+    asked-for state (e.g. a post-merge root that did not exist before
+    the merge) are simply absent from the result."""
+    from nous_spark.operators.graph_inc import _flatten_remap, _read_remap
+
+    if not roots:
+        return {}
+    meta = spark.read.parquet(f"{path}/cc/meta").collect()[0]
+    flat = dict(_flatten_remap(_read_remap(
+        spark, path + "/cc", meta.id_type, exclude_segs=exclude_segs)))
+    resolved = {r: flat.get(r, r) for r in roots}
+    targets = set(resolved.values())
+    keys = targets | {old for old, new in flat.items() if new in targets}
+    kdf = spark.createDataFrame(
+        [(k,) for k in sorted(keys)], schema=f"root {meta.id_type}")
+    bks = [r.b for r in kdf.select(
+        F.pmod(F.xxhash64("root"),
+               F.lit(meta.buckets)).alias("b")).distinct().collect()]
+    reps = spark.read.schema(
+        f"root {meta.id_type}, rep {meta.id_type}, "
+        "bucket BIGINT, seg STRING"
+    ).parquet(f"{path}/reps").filter(F.col("bucket").isin(bks))
+    if exclude_segs:
+        reps = reps.filter(~F.col("seg").isin(*exclude_segs))
+    reps = reps.join(F.broadcast(kdf), "root")
+    if flat:
+        rmap = spark.createDataFrame(
+            sorted(flat.items()),
+            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        reps = (
+            reps.join(F.broadcast(rmap), "root", "left")
+            .withColumn("root", F.coalesce("__new", "root"))
+            .drop("__new")
+        )
+    by_root = {
+        r.root: r.rep for r in reps.groupBy("root")
+        .agg(F.min(_rep_struct("rep"))["label"].alias("rep")).collect()
+    }
+    return {r: by_root[t] for r, t in resolved.items() if t in by_root}
+
+
+def rep_changes(spark: SparkSession, path: str, update_id: int) -> dict:
+    """``{superseded_rep: new_rep}`` caused by update ``u<update_id>`` —
+    one entry per REPRESENTATIVE the update dethroned, never per
+    component member. The touched-root set is read from the update's
+    own remap and rep-log segments (both ∝ delta), the before/after
+    reps come from ``_final_reps`` with/without the segment excluded,
+    and the rep rule's monotonicity (candidate sets only grow, the
+    argmin only improves under the (length desc, label asc) total
+    order) guarantees a label appears as a key at most once across the
+    store's lifetime — so patch logs from successive updates
+    path-compress into a single consistent chain."""
+    from nous_spark.operators.graph_inc import _fs_exists
+
+    seg = f"u{update_id}"
+    meta = spark.read.parquet(f"{path}/cc/meta").collect()[0]
+    touched: set = set()
+    if _fs_exists(spark, f"{path}/cc/remap"):
+        for r in spark.read.schema(
+            f"component {meta.id_type}, new_component {meta.id_type}, "
+            "seg STRING"
+        ).parquet(f"{path}/cc/remap").filter(F.col("seg") == seg).collect():
+            touched.add(r.component)
+            touched.add(r.new_component)
+    for r in spark.read.schema(
+        f"root {meta.id_type}, rep {meta.id_type}, "
+        "bucket BIGINT, seg STRING"
+    ).parquet(f"{path}/reps").filter(F.col("seg") == seg).collect():
+        touched.add(r.root)
+    before = _final_reps(spark, path, touched, exclude_segs=(seg,))
+    after = _final_reps(spark, path, touched)
+    out = {}
+    for r in touched:
+        o, n = before.get(r), after.get(r)
+        if o is not None and n is not None and o != n:
+            out[o] = n
+    return out

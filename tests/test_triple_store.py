@@ -1,0 +1,139 @@
+"""Incremental triple store (operators/triple_store.py): batch parity,
+patch-log boundedness, torn replay, pred pruning, compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nous_spark.operators.canonicalize import canonical_mapping, rewrite_triples
+from nous_spark.operators.triple_store import (
+    build_triple_store,
+    compact_triple_store,
+    read_triple_store,
+    update_triple_store,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+BASE_EDGES = [
+    ("acme", "Acme Corporation"), ("ACME Inc", "Acme Corporation"),
+    ("alpha", "omega"), ("omega", "gamma"),
+    ("bb", "cc"),
+]
+BASE_TRIPLES = [
+    ("acme", "employs", "alpha"),
+    ("ACME Inc", "located_in", "nowhere"),   # obj not in alias graph
+    ("bb", "depends_on", "omega"),
+    ("unrelated", "mentions", "cc"),
+]
+# the delta merges nothing from BASE but crowns a longer rep in the
+# bb/cc component, extends alpha's component, and adds a new one
+DELTA_EDGES = [
+    ("cc", "a-very-long-canonical-name"),
+    ("gamma", "delta"),
+    ("new1", "new2"),
+]
+DELTA_TRIPLES = [
+    ("new1", "employs", "bb"),
+    ("delta", "depends_on", "acme"),
+]
+# second delta: merge the acme and bb/cc components
+MERGE_EDGES = [("acme", "bb")]
+MERGE_TRIPLES = [("omega", "mentions", "new2")]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("subj", "pred", "obj").collect())
+
+
+def _batch(spark, triples, edges):
+    return _rows(rewrite_triples(
+        spark.createDataFrame(triples, ["subj", "pred", "obj"]),
+        canonical_mapping(spark.createDataFrame(edges, ["a", "b"])),
+    ))
+
+
+def _build_and_update(spark, path):
+    build_triple_store(
+        spark.createDataFrame(BASE_TRIPLES, ["subj", "pred", "obj"]),
+        spark.createDataFrame(BASE_EDGES, ["a", "b"]),
+        path, buckets=8, salt_buckets=4)
+    update_triple_store(
+        spark, spark.createDataFrame(DELTA_TRIPLES, ["subj", "pred", "obj"]),
+        spark.createDataFrame(DELTA_EDGES, ["a", "b"]), path, update_id=1,
+        salt_buckets=4)
+
+
+def test_reads_match_batch_rewrite_after_updates(spark, tmp_path):
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    assert _rows(read_triple_store(spark, path)) == _batch(
+        spark, BASE_TRIPLES + DELTA_TRIPLES, BASE_EDGES + DELTA_EDGES)
+    stats = update_triple_store(
+        spark, spark.createDataFrame(MERGE_TRIPLES, ["subj", "pred", "obj"]),
+        spark.createDataFrame(MERGE_EDGES, ["a", "b"]), path, update_id=2,
+        salt_buckets=4)
+    got = _rows(read_triple_store(spark, path))
+    assert got == _batch(
+        spark, BASE_TRIPLES + DELTA_TRIPLES + MERGE_TRIPLES,
+        BASE_EDGES + DELTA_EDGES + MERGE_EDGES)
+    # the merge dethroned exactly one rep (Acme Corporation, 16 chars,
+    # loses to a-very-long-canonical-name, 26) — patch cost is per
+    # dethroned REP, not per member or per stored triple
+    assert stats["n_patches"] == 1
+    assert ("unrelated", "mentions", "a-very-long-canonical-name") in got
+
+
+def test_update_is_replay_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    merge_t = spark.createDataFrame(MERGE_TRIPLES, ["subj", "pred", "obj"])
+    merge_e = spark.createDataFrame(MERGE_EDGES, ["a", "b"])
+    update_triple_store(spark, merge_t, merge_e, path, update_id=2,
+                        salt_buckets=4)  # torn: caller's commit lost
+    first = _rows(read_triple_store(spark, path))
+    s = update_triple_store(spark, merge_t, merge_e, path, update_id=2,
+                            salt_buckets=4)  # replay
+    assert _rows(read_triple_store(spark, path)) == first
+    assert s["n_patches"] == 1
+
+
+def test_pred_filter_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    got = read_triple_store(spark, path, preds=["employs"])
+    assert sorted(r.subj for r in got.collect()) == sorted(
+        s for s, p, o in _batch(
+            spark, BASE_TRIPLES + DELTA_TRIPLES, BASE_EDGES + DELTA_EDGES)
+        if p == "employs")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "employs" in plan  # partition filter reached the scan
+
+
+def test_compaction_preserves_view_and_drops_patches(spark, tmp_path):
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    update_triple_store(
+        spark, spark.createDataFrame(MERGE_TRIPLES, ["subj", "pred", "obj"]),
+        spark.createDataFrame(MERGE_EDGES, ["a", "b"]), path, update_id=2,
+        salt_buckets=4)
+    before = _rows(read_triple_store(spark, path))
+    stats = compact_triple_store(spark, path, salt_buckets=4)
+    assert _rows(read_triple_store(spark, path)) == before
+    assert not os.path.exists(f"{path}/patches")
+    assert stats["files_after"] <= stats["files_before"]
+    segs = {d for d in os.listdir(f"{path}/triples/pred=employs")
+            if d.startswith("seg=")}
+    assert segs == {"seg=base"}
+    # still updatable: another merge after compaction patches correctly
+    update_triple_store(
+        spark, spark.createDataFrame([], "subj string, pred string, obj string"),
+        spark.createDataFrame([("new1", "Acme Corporation")], ["a", "b"]),
+        path, update_id=3, salt_buckets=4)
+    got = _rows(read_triple_store(spark, path))
+    assert got == _batch(
+        spark, BASE_TRIPLES + DELTA_TRIPLES + MERGE_TRIPLES,
+        BASE_EDGES + DELTA_EDGES + MERGE_EDGES
+        + [("new1", "Acme Corporation")])
