@@ -106,6 +106,8 @@ def main() -> None:
         "str_cc_ingest",
         "kg_bgp_optional",
         "kg_path_reach",
+        "kg_canonical_update",
+        "kg_triple_store",
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}

@@ -261,3 +261,37 @@ def test_semantic_relatedness_label_df_cap_bounds_pairs(spark):
     assert {(r.e1, r.e2) for r in rows} == {(1, 2), (3, 4)}, rows
     uncapped = semantic_relatedness_pairs(nbrs, 1000)
     assert uncapped.count() > 15_000  # the blowup the cap exists to kill
+
+
+def test_triple_store_patch_cost_independent_of_members(spark, tmp_path):
+    """A canonicalization merge costs the triple store one patch row per
+    DETHRONED REP — the same cost at 6x the component's member/triple
+    count. This is the property that lets a 100 TB store absorb alias
+    merges without rewriting stored segments."""
+    from nous_spark.operators.triple_store import (
+        build_triple_store,
+        update_triple_store,
+    )
+
+    def n_patches(n, path):
+        members = spark.range(n).select(
+            F.concat(F.lit("m"), F.col("id").cast("string")).alias("a"),
+            F.lit("hub-entity-long-name").alias("b"))
+        triples = spark.range(n).select(
+            F.concat(F.lit("m"), F.col("id").cast("string")).alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.concat(F.lit("m"),
+                     ((F.col("id") + 1) % n).cast("string")).alias("obj"))
+        other = spark.createDataFrame(
+            [("x1", "an-even-longer-canonical-entity-name")], ["a", "b"])
+        build_triple_store(triples, members.unionByName(other), path,
+                           buckets=8, salt_buckets=4)
+        stats = update_triple_store(
+            spark, triples.limit(0),
+            spark.createDataFrame([("hub-entity-long-name", "x1")],
+                                  ["a", "b"]),
+            path, update_id=1, salt_buckets=4)
+        return stats["n_patches"]
+
+    assert n_patches(300, str(tmp_path / "small")) == 1
+    assert n_patches(300 * FACTOR, str(tmp_path / "big")) == 1
