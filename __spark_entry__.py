@@ -414,7 +414,10 @@ def _q_canonical_update(spark, sf):  # incremental canonical store
     )
 
 
-def _q_triple_store(spark, sf):  # incremental materialized triple table
+_TS_STORE_CACHE: dict = {}
+
+
+def _ts_store(spark, sf):  # shared build for the triple-store gates
     """Incremental triple store (operators/triple_store.py): built from
     order-placement triples + customer<->nation alias stars, then one
     increment folds in supplier triples plus an alias delta whose
@@ -428,9 +431,11 @@ def _q_triple_store(spark, sf):  # incremental materialized triple table
 
     from nous_spark.operators.triple_store import (
         build_triple_store,
-        read_triple_store,
         update_triple_store,
     )
+
+    if sf in _TS_STORE_CACHE:
+        return _TS_STORE_CACHE[sf]
 
     cust = _read(spark, sf, "customer")
     nat = _read(spark, sf, "nation")
@@ -468,7 +473,45 @@ def _q_triple_store(spark, sf):  # incremental materialized triple table
                        salt_buckets=4)
     update_triple_store(spark, delta_triples, delta_edges, path,
                         update_id=1, salt_buckets=4)
-    return read_triple_store(spark, path)
+    _TS_STORE_CACHE[sf] = path
+    return path
+
+
+def _q_triple_store(spark, sf):  # incremental materialized triple table
+    """Incremental triple store read-back; see _ts_store for the
+    build/update scenario and the oracle sketch."""
+    from nous_spark.operators.triple_store import read_triple_store
+
+    return read_triple_store(spark, _ts_store(spark, sf))
+
+
+def _q_store_query(spark, sf):  # BGP + FILTER over the triple store
+    """The full query path of the kg-construct service: a SPARQL BGP
+    with a FILTER answered straight from the incrementally maintained
+    triple store (operators/bgp.py match_pattern_store). The store is
+    the same build+increment as kg_triple_store — the nation<->region
+    alias delta merges every region's customers, suppliers, and
+    nations into ONE component, so the join variable ?hub (placed's
+    canonical subject == located_in's canonical subject) binds ONLY
+    because the increment was folded in: the query result is evidence
+    the store canonicalized, not just stored. Literal predicates prune
+    the (pred, seg)-partitioned scan at the file level (plan-asserted
+    in tests); the FILTER on ?o pushes into the placed-pattern scan.
+    Multiset semantics are exercised on purpose: every located_in
+    triple of a region multiplies the region's placed bindings, and
+    the oracle's UNION ALL join reproduces that exactly."""
+    from nous_spark.operators.bgp import match_pattern_store
+
+    m = match_pattern_store(
+        spark, _ts_store(spark, sf),
+        [("?hub", "placed", "?o"), ("?hub", "located_in", "?n")],
+        filters=["o > 'O3'"],
+    )
+    return m.groupBy("hub").agg(
+        F.count(F.lit(1)).alias("n_bindings"),
+        F.countDistinct("o").alias("n_orders"),
+        F.countDistinct("n").alias("n_sites"),
+    )
 
 
 def _q_path_search(spark, sf):  # G3/G5, DuckDB oracle = 3-hop unrolled CTEs
@@ -2480,8 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "j2_candidate_pairs_stringsim": _q_j2_candidate_pairs_stringsim,
         "f8_string_sim": _q_f8_string_sim,
-        "f12_las_reader": _q_f12_las_reader,
         "str_ivf_ingest": _q_str_ivf_ingest,
+        "kg_store_query": _q_store_query,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py. corpus_clean / a1_mis_support /
@@ -2497,6 +2540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OPTIONAL/property-path pair; s10_lg_reader / s12_topic_reader
         # (driver-green, unchanged) demoted for kg_canonical_update and
         # kg_triple_store. ----
+        # f12_las_reader (driver-green, unchanged) demoted for
+        # kg_store_query (BGP+FILTER over the incremental store). ----
+        "f12_las_reader": _q_f12_las_reader,
         "s10_lg_reader": _q_s10_lg_reader,
         "s12_topic_reader": _q_s12_topic_reader,
         "f1_valid_lines": _q_valid_lines,
@@ -3128,6 +3174,82 @@ def oracle_sql() -> dict[str, str]:
                    FROM c5)
             SELECT l.id AS label, r.canonical_label
             FROM c5 l JOIN rep r ON l.component = r.component AND r.rn = 1
+        """,
+        "kg_store_query": """
+            -- same full-recompute canonicalization as kg_triple_store,
+            -- then the BGP: ?hub placed ?o (FILTER o > 'O3') JOIN
+            -- ?hub located_in ?n, grouped per hub. UNION ALL keeps the
+            -- multiset the pattern matcher preserves.
+            WITH e AS (
+              SELECT c.c_name AS a, n.n_name AS b
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT s.s_name, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT n.n_name, r.r_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id),
+            c5 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c4
+                   UNION ALL
+                   SELECT sym.a AS id, c4.component FROM sym JOIN c4 ON c4.id = sym.b)
+                 GROUP BY id),
+            rep AS (SELECT component, id AS canonical_label,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY length(id) DESC, id ASC) AS rn
+                   FROM c5),
+            mp AS (SELECT l.id AS label, r.canonical_label
+                  FROM c5 l JOIN rep r
+                    ON l.component = r.component AND r.rn = 1),
+            t AS (
+              SELECT c.c_name AS subj, 'placed' AS pred,
+                     'O' || o.o_orderkey AS obj
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT s.s_name, 'located_in', n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+            rt AS (
+              SELECT coalesce(ms.canonical_label, t.subj) AS subj,
+                     t.pred,
+                     coalesce(mo.canonical_label, t.obj) AS obj
+              FROM t
+              LEFT JOIN mp ms ON t.subj = ms.label
+              LEFT JOIN mp mo ON t.obj = mo.label)
+            SELECT p.subj AS hub,
+                   count(*)::BIGINT AS n_bindings,
+                   count(DISTINCT p.obj)::BIGINT AS n_orders,
+                   count(DISTINCT l.obj)::BIGINT AS n_sites
+            FROM rt p
+            JOIN rt l ON l.pred = 'located_in' AND l.subj = p.subj
+            WHERE p.pred = 'placed' AND p.obj > 'O3'
+            GROUP BY p.subj
         """,
         "kg_triple_store": """
             -- full recompute: canonical mapping over base UNION delta

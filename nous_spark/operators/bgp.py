@@ -25,16 +25,27 @@ join; that is refused unless ``allow_cartesian=True``.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POS = ("subj", "pred", "obj")
 
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+def _expr_vars(expr: str, known: frozenset[str]) -> frozenset[str]:
+    """Variable names a FILTER expression references: every identifier
+    token that is a declared pattern variable. A variable name that
+    shadows a SQL function name would be misattributed — pick variable
+    names that aren't function calls in the same filter."""
+    return frozenset(_IDENT.findall(expr)) & known
 
 
 def match_pattern(
@@ -46,6 +57,7 @@ def match_pattern(
     distinct: bool = False,
     allow_cartesian: bool = False,
     optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[str] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns against ``triples`` and
     return one row per binding of the pattern's variables.
@@ -74,10 +86,36 @@ def match_pattern(
     two groups may not introduce the same new variable (SPARQL's
     compatibility-merge semantics for that case are not left-join
     expressible; split the query instead).
+
+    ``filters`` — SPARQL FILTER constraints as Spark SQL boolean
+    expressions over the variable names (``"age > 30"``,
+    ``"a < b"``, ``"label LIKE 'Acme%'"``). Filters are row-local
+    deterministic predicates, so each one is PUSHED to the earliest
+    point its variables are bound: into the per-pattern scan when one
+    pattern binds them all (riding predicate pushdown into the parquet
+    scan), after the first join step that completes them otherwise, and
+    after the OPTIONAL joins for filters over optional variables —
+    where a NULL (unmatched) binding makes the comparison NULL and the
+    row is dropped, SPARQL's error-is-false FILTER semantics. An
+    identifier that is not a declared variable falls through to the SQL
+    analyzer (function names resolve; an undeclared variable surfaces
+    as an unresolved-column error).
     """
     if not patterns:
         raise ValueError("patterns must be non-empty")
     cols = {"subj": subj_col, "pred": pred_col, "obj": obj_col}
+
+    declared = frozenset(
+        t[1:]
+        for grp in ([patterns] + [list(g) for g in (optionals or [])])
+        for pat in grp
+        for t in pat
+        if _is_var(t)
+    )
+    pend: list[tuple[str, frozenset[str]]] = [
+        (f, _expr_vars(f, declared)) for f in (filters or [])
+    ]
+    handled: set[int] = set()
 
     scans: list[tuple[DataFrame, frozenset[str], int]] = []
     for pat in patterns:
@@ -109,7 +147,14 @@ def match_pattern(
                 for a, b in zip(at, at[1:]):
                     df = df.where(F.col(a) == F.col(b))
             sel.append(F.col(at[0]).alias(v))
-        scans.append((df.select(*sel), frozenset(var_at), n_bound))
+        scan_df = df.select(*sel)
+        # scan-level FILTER pushdown: applied at EVERY scan binding all
+        # of a filter's variables (a shared variable narrows each side)
+        for k, (fexpr, vs) in enumerate(pend):
+            if vs and vs <= set(var_at):
+                scan_df = scan_df.where(F.expr(fexpr))
+                handled.add(k)
+        scans.append((scan_df, frozenset(var_at), n_bound))
 
     # Greedy connected join order: most-bound pattern first, then the
     # most-bound pattern sharing a variable with what's already joined.
@@ -145,6 +190,10 @@ def match_pattern(
             else out.crossJoin(df)
         )
         seen |= vars_i
+        for k, (fexpr, vs) in enumerate(pend):
+            if k not in handled and vs and vs <= seen:
+                out = out.where(F.expr(fexpr))
+                handled.add(k)
     introduced: set[str] = set()
     for g, grp in enumerate(optionals or []):
         gdf = match_pattern(
@@ -168,6 +217,13 @@ def match_pattern(
         introduced |= set(gdf.columns) - seen
         out = out.join(gdf, on=shared, how="left")
         seen |= set(gdf.columns)
+        for k, (fexpr, vs) in enumerate(pend):
+            if k not in handled and vs and vs <= seen:
+                out = out.where(F.expr(fexpr))
+                handled.add(k)
+    for k, (fexpr, _vs) in enumerate(pend):
+        if k not in handled:  # constants / undeclared identifiers
+            out = out.where(F.expr(fexpr))
     if distinct:
         out = out.distinct()
     return out
@@ -246,4 +302,46 @@ def match_path(
         acc.filter(F.col("hops").between(min_hops, max_hops))
         .groupBy("src", "dst")
         .agg(F.min("hops").alias("hops"))
+    )
+
+
+def match_pattern_store(
+    spark: SparkSession,
+    path: str,
+    patterns: Sequence[tuple[str, str, str]],
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+    optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[str] | None = None,
+    exclude_segs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Run a BGP (with OPTIONAL groups and FILTERs) directly against an
+    incremental triple store (operators/triple_store.py) — the full
+    query path of the service: crawl increments fold into the store at
+    delta cost, and queries read the current canonical view without any
+    caller-side plumbing.
+
+    Scale shape: the store is partitioned by ``(pred, seg)``, so when
+    every pattern binds its predicate to a literal (the common SPARQL
+    case) the store read is restricted to exactly those predicates —
+    file-level partition pruning; a 100 TB store with 10^4 predicates
+    reads only the queried ones. Each pattern's own ``pred = lit``
+    filter additionally pushes through the patch-fold joins into its
+    scan (the patch join touches subj/obj only, so Catalyst moves the
+    predicate below it). Any variable-predicate pattern falls back to
+    the full (still patch-folded) view.
+    """
+    groups = [list(patterns)] + [list(g) for g in (optionals or [])]
+    pred_terms = [p[1] for g in groups for p in g if len(p) == 3]
+    preds = None
+    if pred_terms and all(not _is_var(t) for t in pred_terms):
+        preds = sorted(set(pred_terms))
+    from nous_spark.operators.triple_store import read_triple_store
+
+    view = read_triple_store(spark, path, preds=preds,
+                             exclude_segs=exclude_segs)
+    return match_pattern(
+        view, patterns, distinct=distinct,
+        allow_cartesian=allow_cartesian, optionals=optionals,
+        filters=filters,
     )

@@ -349,3 +349,65 @@ def test_match_path_in_range_beats_shorter_out_of_range(spark):
            for r in match_path(df, "knows", min_hops=2, max_hops=2).collect()}
     assert got[("a", "c")] == 2  # direct 1-hop edge exists too
     assert ("a", "b") not in got or got[("a", "b")] == 2
+
+
+# ---------------------------------------------------------------------------
+# FILTER
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("patterns,filters", [
+    # single-var filter -> applied at the pattern scan
+    ([("?x", "knows", "?y")], ["y >= 'b'"]),
+    # cross-pattern two-var filter -> applied at the joining step
+    ([("?x", "knows", "?y"), ("?y", "knows", "?z")], ["x < z"]),
+    # mixed: one scan-level, one join-level, plus a constant
+    ([("?x", "knows", "?y"), ("?y", "type", "?t")],
+     ["t = 'person'", "x <> y", "1 = 1"]),
+])
+def test_bgp_filter_equals_post_hoc_where(spark, patterns, filters):
+    """Pushed FILTER placement is an optimization, not a semantics
+    change: the result must equal applying every filter to the
+    unfiltered match output."""
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = match_pattern(df, patterns, filters=filters)
+    want = match_pattern(df, patterns)
+    for f in filters:
+        want = want.where(F.expr(f))
+    vars_ = sorted(got.columns)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert sorted(tuple(r[v] for v in vars_) for r in got.collect()) == \
+        sorted(tuple(r[v] for v in vars_) for r in want.collect())
+
+
+def test_bgp_filter_on_optional_var_uses_error_is_false(spark):
+    """A FILTER over an OPTIONAL-bound variable sees NULL where the
+    group missed; NULL comparisons drop the row (SPARQL error→false)."""
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    base = match_pattern(
+        df, [("?x", "knows", "?y")],
+        optionals=[[("?y", "likes", "?w")]])
+    # only b likes anything -> w NULL for knows-objects a and c
+    assert any(r.w is None for r in base.collect())
+    got = match_pattern(
+        df, [("?x", "knows", "?y")],
+        optionals=[[("?y", "likes", "?w")]],
+        filters=["w = 'b'"])
+    rows = got.collect()
+    assert rows and all(r.w == "b" for r in rows)
+    want = sorted((r.x, r.y, r.w) for r in base.collect() if r.w == "b")
+    assert sorted((r.x, r.y, r.w) for r in rows) == want
+
+
+def test_bgp_filter_reaches_parquet_scan(tmp_path, spark):
+    """A single-variable FILTER must ride predicate pushdown into the
+    parquet scan exactly like a bound pattern literal does."""
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    p = str(tmp_path / "triples")
+    df.write.parquet(p)
+    t = spark.read.parquet(p)
+    plan = match_pattern(
+        t, [("?x", "knows", "?y")], filters=["y > 'a'"],
+    )._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "GreaterThan(obj" in pushed, plan

@@ -137,3 +137,46 @@ def test_compaction_preserves_view_and_drops_patches(spark, tmp_path):
         spark, BASE_TRIPLES + DELTA_TRIPLES + MERGE_TRIPLES,
         BASE_EDGES + DELTA_EDGES + MERGE_EDGES
         + [("new1", "Acme Corporation")])
+
+
+def test_match_pattern_store_queries_canonical_view(spark, tmp_path):
+    """BGP directly over the store: answers come from the post-update
+    canonicalization (parity with an explicit read + match), literal
+    predicates restrict the store read (partition pruning visible in
+    the plan), and FILTERs compose."""
+    from nous_spark.operators.bgp import match_pattern, match_pattern_store
+
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    pats = [("?who", "employs", "?e"), ("?d", "depends_on", "?e2")]
+    # connected via a shared variable instead: employs obj == depends_on subj
+    pats = [("?who", "employs", "?mid"), ("?mid", "depends_on", "?tgt")]
+    got = match_pattern_store(spark, path, pats)
+    want = match_pattern(read_triple_store(spark, path), pats)
+    key = sorted(got.columns)
+    assert sorted(tuple(r[k] for k in key) for r in got.collect()) == \
+        sorted(tuple(r[k] for k in key) for r in want.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every store scan is partition-pruned to the queried predicates
+    # (the IN list from the store read + the pattern's own literal),
+    # so the unqueried pred dirs are never read
+    pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert pf and all("pred" in s and "IN (depends_on,employs)" in s
+                      for s in pf), plan
+    assert all("mentions" not in s and "located_in" not in s for s in pf)
+    # FILTER over a store query
+    filt = match_pattern_store(spark, path, pats, filters=["who <> tgt"])
+    assert sorted(tuple(r[k] for k in key) for r in filt.collect()) == \
+        sorted(tuple(r[k] for k in key) for r in want.collect()
+               if r["who"] != r["tgt"])
+
+
+def test_match_pattern_store_variable_pred_reads_full_view(spark, tmp_path):
+    from nous_spark.operators.bgp import match_pattern_store
+
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    got = match_pattern_store(spark, path, [("?s", "?p", "?o")])
+    want = read_triple_store(spark, path)
+    assert sorted((r.s, r.p, r.o) for r in got.collect()) == \
+        sorted((r.subj, r.pred, r.obj) for r in want.collect())
