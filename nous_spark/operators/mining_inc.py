@@ -1,0 +1,347 @@
+"""Incremental min-image-support maintenance: frequent-pattern mining
+over the GROWING graph at delta cost.
+
+The reference's mining loop re-derives pattern supports per batch by
+re-reading the accumulated window's instance graph
+(Mining/src/main/scala/gov/pnnl/aim/datamodel/DatatoPatternGraph.scala:
+1237-1298 computeMinImageSupport over the whole window at :513-588);
+operators/mining.py re-expresses those batch semantics. This module is
+the service form the 100 TB deployment needs: a persisted support store
+where folding a crawl increment costs ∝ the delta (plus the touched
+patterns' pred partitions), never a rescan of the corpus — the mining
+sibling of the MinHash index (dedup.py:779), the component store
+(graph_inc.py:184), and the triple store (triple_store.py).
+
+Pattern universe (pinned in meta at build time):
+
+- every 1-edge pattern ``e:<pred>`` — variables (subj, obj);
+- caller-chosen 2-edge path patterns ``p:<p1>|<p2>`` matching
+  ``?x -p1-> ?y -p2-> ?z`` — variables (x, y, z).
+
+Min-image support of a pattern = min over variable positions of the
+number of DISTINCT graph nodes bound at that position (the standard
+overlap-safe support measure the reference uses). The store never
+materializes matches; it maintains, per (pattern, position), the set of
+distinct bound nodes — bounded by graph nodes, not match counts.
+
+Layout under ``{path}``:
+
+- ``postings`` — (pattern_key, var_pos, node) partitioned by
+  ``(bucket, seg)`` with ``bucket = pmod(xxhash64(node), buckets)``.
+  Each segment inserts ONLY nodes absent from prior segments for its
+  (pattern, position) — so the table is duplicate-free by construction
+  and the per-segment insert counts are additive.
+- ``counts`` — (pattern_key, var_pos, n_new) per segment. Support
+  reads touch ONLY this tiny table (O(#patterns) rows): sum per
+  position, min over positions. The postings exist solely to make the
+  next delta's novelty anti-join exact.
+- ``edges`` — the store's own (subj, pred, obj) multiset partitioned
+  by ``(pred, seg)``: the E side of cross-increment 2-edge matches,
+  pred-partition-pruned on read.
+- ``meta`` — buckets + the pinned pair-pattern list (updates cannot
+  silently mine a different universe).
+
+Delta-join maintenance for a 2-edge pattern (p1, p2) on update Δ
+against prior edges E: new matches = Δ1⋈E2 ∪ E1⋈Δ2 ∪ Δ1⋈Δ2 on the
+shared middle vertex — the three terms are disjoint because E excludes
+the update's own segment. The E-side scans are pred-pruned AND
+semi-filtered to the delta's middle-vertex set (broadcast), so no
+corpus-sized shuffle exists in the update path; the postings novelty
+anti-join prunes its store read to the delta nodes' hash buckets at
+the file level.
+
+Idempotency: every write is keyed by ``seg=u<update_id>`` with dynamic
+partition overwrite and every read excludes the update's own segment —
+a torn attempt is replaced byte-for-byte by its replay, the same
+contract as the component/triple stores. ``compact_mis_store`` folds
+segments into ``seg=base`` via sibling-dir + rename swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POSTINGS_SCHEMA = ("pattern_key STRING, var_pos INT, node STRING, "
+                    "bucket BIGINT, seg STRING")
+_COUNTS_SCHEMA = "pattern_key STRING, var_pos INT, n_new BIGINT, seg STRING"
+_EDGES_SCHEMA = "subj STRING, obj STRING, pred STRING, seg STRING"
+
+
+def _norm_pairs(pair_patterns) -> list[tuple[str, str]]:
+    pairs = [(str(a), str(b)) for a, b in (pair_patterns or [])]
+    for a, b in pairs:
+        if "," in a + b or "|" in a + b:
+            raise ValueError(
+                f"pair predicates may not contain ',' or '|': {(a, b)}")
+    return pairs
+
+
+def _one_edge_postings(edges: DataFrame) -> DataFrame:
+    """(pattern_key e:<pred>, var_pos, node) for every edge pattern."""
+    melted = edges.select(
+        F.concat(F.lit("e:"), F.col("pred")).alias("pattern_key"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("var_pos"), F.col("subj").alias("node")),
+            F.struct(F.lit(1).alias("var_pos"), F.col("obj").alias("node")),
+        )).alias("pv"),
+    )
+    return melted.select(
+        "pattern_key", F.col("pv.var_pos").alias("var_pos"),
+        F.col("pv.node").alias("node"),
+    ).dropDuplicates(["pattern_key", "var_pos", "node"])
+
+
+def _pair_match_postings(matches: DataFrame, key) -> DataFrame:
+    """Melt (x, y, z) matches of one pair pattern to postings rows."""
+    melted = matches.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("var_pos"), F.col("x").alias("node")),
+        F.struct(F.lit(1).alias("var_pos"), F.col("y").alias("node")),
+        F.struct(F.lit(2).alias("var_pos"), F.col("z").alias("node")),
+    )).alias("pv"))
+    return melted.select(
+        key.alias("pattern_key"),
+        F.col("pv.var_pos").alias("var_pos"),
+        F.col("pv.node").alias("node"),
+    ).dropDuplicates(["pattern_key", "var_pos", "node"])
+
+
+def _pair_matches(e1: DataFrame, e2: DataFrame) -> DataFrame:
+    """?x -p1-> ?y -p2-> ?z bindings from an edge frame per side."""
+    return (
+        e1.select(F.col("subj").alias("x"), F.col("obj").alias("y"))
+        .join(e2.select(F.col("subj").alias("y"),
+                        F.col("obj").alias("z")), "y")
+        .select("x", "y", "z")
+    )
+
+
+def _write_partitioned(df: DataFrame, path: str, part_cols: list[str],
+                       repart_col: str | None, dynamic: bool) -> None:
+    if repart_col is not None:
+        df = df.repartition(F.col(repart_col))
+    w = df.write.mode("overwrite")
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy(*part_cols).parquet(path)
+
+
+def _all_postings(spark: SparkSession, path: str,
+                  exclude_segs: tuple[str, ...]) -> DataFrame:
+    p = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+    if exclude_segs:
+        p = p.filter(~F.col("seg").isin(*exclude_segs))
+    return p
+
+
+def _stored_edges(spark: SparkSession, path: str, preds: list[str],
+                  exclude_segs: tuple[str, ...]) -> DataFrame:
+    e = spark.read.schema(_EDGES_SCHEMA).parquet(f"{path}/edges")
+    if exclude_segs:
+        e = e.filter(~F.col("seg").isin(*exclude_segs))
+    if preds is not None:
+        e = e.filter(F.col("pred").isin(*preds))
+    return e.select("subj", "pred", "obj")
+
+
+def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
+                    pairs: list[tuple[str, str]]) -> DataFrame:
+    """All postings the delta's edges can contribute: its own 1-edge
+    postings plus, per pair pattern, the melt of the three disjoint
+    delta-join terms. ``prior_edges`` is None at build time (no store
+    yet), collapsing the three terms to Δ⋈Δ."""
+    out = _one_edge_postings(delta)
+    for p1, p2 in pairs:
+        d1 = delta.filter(F.col("pred") == p1)
+        d2 = delta.filter(F.col("pred") == p2)
+        terms = [_pair_matches(d1, d2)]
+        if prior_edges is not None:
+            e1 = prior_edges.filter(F.col("pred") == p1)
+            e2 = prior_edges.filter(F.col("pred") == p2)
+            # semi-filter the stored side to the delta's middle-vertex
+            # set before the join: the scan stays pred-partition-pruned
+            # and the join never shuffles more than the touched rows
+            mid_from_d1 = d1.select(F.col("obj").alias("y")).distinct()
+            mid_from_d2 = d2.select(F.col("subj").alias("y")).distinct()
+            terms.append(_pair_matches(
+                d1,
+                e2.join(F.broadcast(mid_from_d1),
+                        e2.subj == F.col("y"), "left_semi"),
+            ))
+            terms.append(_pair_matches(
+                e1.join(F.broadcast(mid_from_d2),
+                        e1.obj == F.col("y"), "left_semi"),
+                d2,
+            ))
+        matches = terms[0]
+        for t in terms[1:]:
+            matches = matches.unionByName(t)
+        key = F.lit(f"p:{p1}|{p2}")
+        out = out.unionByName(_pair_match_postings(matches, key))
+    return out
+
+
+def build_mis_store(
+    triples: DataFrame,
+    path: str,
+    pair_patterns: list[tuple[str, str]] | None = None,
+    buckets: int = 64,
+) -> None:
+    """Create the store from an initial triple set. ``pair_patterns``
+    pins the 2-edge universe for the store's lifetime (1-edge patterns
+    are always maintained, one per predicate seen)."""
+    spark = triples.sparkSession
+    pairs = _norm_pairs(pair_patterns)
+    edges = triples.select("subj", "pred", "obj")
+
+    postings = _delta_postings(edges, None, pairs).localCheckpoint(
+        eager=True)
+    counts = postings.groupBy("pattern_key", "var_pos").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    _write_partitioned(
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("node"), F.lit(buckets)))
+        .withColumn("seg", F.lit("base")),
+        f"{path}/postings", ["bucket", "seg"], "bucket", dynamic=False)
+    _write_partitioned(
+        counts.coalesce(1).withColumn("seg", F.lit("base")),
+        f"{path}/counts", ["seg"], None, dynamic=False)
+    _write_partitioned(
+        edges.withColumn("seg", F.lit("base")),
+        f"{path}/edges", ["pred", "seg"], "pred", dynamic=False)
+    spark.range(1).select(
+        F.lit(int(buckets)).alias("buckets"),
+        F.lit("|".join(f"{a},{b}" for a, b in pairs)).alias("pairs"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _meta(spark: SparkSession, path: str):
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    pairs = [tuple(p.split(",")) for p in m.pairs.split("|") if p]
+    return int(m.buckets), pairs
+
+
+def update_mis_store(
+    spark: SparkSession,
+    delta_triples: DataFrame,
+    path: str,
+    update_id: int,
+) -> dict:
+    """Fold a triple delta into the support store under segment
+    ``u<update_id>``. Cost ∝ delta: new matches come from the three
+    disjoint delta-join terms (stored side pred-pruned + broadcast
+    semi-filtered to delta vertices), novelty is one anti-join against
+    the postings pruned to the delta nodes' buckets, and the writes
+    are the new postings + O(#patterns) count rows + the delta's own
+    edges. Replayable: all reads exclude ``seg=u<update_id>``, all
+    writes overwrite it."""
+    buckets, pairs = _meta(spark, path)
+    seg = f"u{update_id}"
+    delta = delta_triples.select("subj", "pred", "obj").localCheckpoint(
+        eager=True)
+
+    touched_preds = sorted(
+        {p for pr in pairs for p in pr}
+        & {r.pred for r in delta.select("pred").distinct().collect()}
+    )
+    prior = _stored_edges(
+        spark, path, preds=[p for pr in pairs for p in pr],
+        exclude_segs=(seg,)) if touched_preds else None
+    cand = _delta_postings(delta, prior, pairs).localCheckpoint(eager=True)
+
+    # novelty: prune the stored postings to the candidate nodes'
+    # buckets (≤ `buckets` distinct values — bounded driver collect),
+    # then anti-join on the full (pattern, pos, node) key
+    bks = [r.b for r in cand.select(
+        F.pmod(F.xxhash64("node"), F.lit(buckets)).alias("b")
+    ).distinct().collect()]
+    stored = _all_postings(spark, path, exclude_segs=(seg,)).filter(
+        F.col("bucket").isin(bks))
+    new_postings = cand.join(
+        stored.select("pattern_key", "var_pos", "node"),
+        ["pattern_key", "var_pos", "node"], "left_anti",
+    ).localCheckpoint(eager=True)
+
+    counts = new_postings.groupBy("pattern_key", "var_pos").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    _write_partitioned(
+        new_postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("node"), F.lit(buckets)))
+        .withColumn("seg", F.lit(seg)),
+        f"{path}/postings", ["bucket", "seg"], "bucket", dynamic=True)
+    _write_partitioned(
+        counts.coalesce(1).withColumn("seg", F.lit(seg)),
+        f"{path}/counts", ["seg"], None, dynamic=True)
+    _write_partitioned(
+        delta.withColumn("seg", F.lit(seg)),
+        f"{path}/edges", ["pred", "seg"], "pred", dynamic=True)
+    return {
+        "new_postings": new_postings.count(),
+        "touched_buckets": len(bks),
+    }
+
+
+def read_mis_support(
+    spark: SparkSession,
+    path: str,
+    exclude_segs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Current (pattern_key, support) view. Reads ONLY the counts
+    table — O(#patterns × #segments) rows; the corpus-sized postings
+    are never touched on the query path."""
+    c = spark.read.schema(_COUNTS_SCHEMA).parquet(f"{path}/counts")
+    if exclude_segs:
+        c = c.filter(~F.col("seg").isin(*exclude_segs))
+    per_pos = c.groupBy("pattern_key", "var_pos").agg(
+        F.sum("n_new").alias("n_distinct"))
+    return per_pos.groupBy("pattern_key").agg(
+        F.min("n_distinct").alias("support"))
+
+
+def compact_mis_store(spark: SparkSession, path: str) -> dict:
+    """Fold every segment into ``seg=base`` (postings re-bucketed to
+    one file per bucket, counts re-aggregated, edges re-packed per
+    pred) via sibling temp dirs + delete/rename swap — the live store
+    survives a mid-rewrite crash; a partial swap leaves some tables
+    compacted and the rest folded by the next run (reads are
+    segment-agnostic unions, so either state resolves identically)."""
+    buckets, _pairs = _meta(spark, path)
+    files_before = len(
+        spark.read.parquet(f"{path}/postings").inputFiles())
+
+    postings = _all_postings(spark, path, ()).select(
+        "pattern_key", "var_pos", "node").localCheckpoint(eager=True)
+    counts = (
+        spark.read.schema(_COUNTS_SCHEMA).parquet(f"{path}/counts")
+        .groupBy("pattern_key", "var_pos")
+        .agg(F.sum("n_new").alias("n_new"))
+        .localCheckpoint(eager=True)
+    )
+    edges = _stored_edges(spark, path, None, ()).localCheckpoint(
+        eager=True)
+
+    _write_partitioned(
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("node"), F.lit(buckets)))
+        .withColumn("seg", F.lit("base")),
+        f"{path}/postings_tmp", ["bucket", "seg"], "bucket",
+        dynamic=False)
+    _write_partitioned(
+        counts.coalesce(1).withColumn("seg", F.lit("base")),
+        f"{path}/counts_tmp", ["seg"], None, dynamic=False)
+    _write_partitioned(
+        edges.withColumn("seg", F.lit("base")),
+        f"{path}/edges_tmp", ["pred", "seg"], "pred", dynamic=False)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for name in ("postings", "counts", "edges"):
+        live = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}_tmp")
+        fs = live.getFileSystem(conf)
+        fs.delete(live, True)
+        if not fs.rename(tmp, live):
+            raise IOError(f"compaction swap failed for {name}")
+    files_after = len(
+        spark.read.parquet(f"{path}/postings").inputFiles())
+    return {"files_before": files_before, "files_after": files_after}
