@@ -532,6 +532,64 @@ def _q_mis_update(spark, sf):  # incremental min-image support
     return read_mis_support(spark, path)
 
 
+def _q_str_mis_ingest(spark, sf):  # §2.9 streaming pattern support
+    """Triples streamed in two microbatches into a persisted MIS store
+    (base = has_brand + even-suppkey supplies; batch 0 = odd supplies,
+    whose pair matches need the STORED has_brand side; batch 1 = the
+    in_nation predicate; auto-compaction fires at batch 1 with the
+    in-flight segment excluded). Same full-recompute oracle as
+    kg_mis_update — the streamed incremental fold must equal the
+    from-scratch batch run."""
+    import os
+    import tempfile
+
+    from nous_spark.operators.mining_inc import (
+        build_mis_store,
+        read_mis_support,
+    )
+    from nous_spark.streaming.structured import streaming_mis_ingest
+
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part")
+    supp = _read(spark, sf, "supplier")
+    supplies = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+        (F.col("l_suppkey") % 2).alias("half"),
+    ).distinct()
+    base = supplies.filter(F.col("half") == 0).drop("half").unionByName(
+        part.select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("subj"),
+            F.lit("has_brand").alias("pred"),
+            F.col("p_brand").alias("obj"),
+        ))
+    batches = [
+        supplies.filter(F.col("half") == 1).drop("half"),
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        ),
+    ]
+    src_dir = tempfile.mkdtemp(prefix="strmis_src_")
+    for i, b in enumerate(batches):
+        d = f"{src_dir}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src_dir}/batch{i}.parquet")
+                os.utime(f"{src_dir}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    store = tempfile.mkdtemp(prefix="strmis_store_") + "/store"
+    build_mis_store(base, store,
+                    pair_patterns=[("supplies", "has_brand")], buckets=16)
+    q = streaming_mis_ingest(spark, src_dir, store,
+                             compact_every_n_batches=1)
+    q.awaitTermination(180)
+    return read_mis_support(spark, store)
+
+
 def _q_store_query(spark, sf):  # BGP + FILTER over the triple store
     """The full query path of the kg-construct service: a SPARQL BGP
     with a FILTER answered straight from the incrementally maintained
@@ -2560,7 +2618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_subgraph": _q_subgraph,
         "w6_weight_bins": _q_weight_bins,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
-        "s5_autodetect": _q_s5_autodetect,
         "w3_argmax_entity": _q_w3_argmax_entity,
         "a1_mis_exact": _q_mis_exact,
         "a6_edge_signatures": _q_edge_signatures,
@@ -2572,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_ivf_ingest": _q_str_ivf_ingest,
         "kg_store_query": _q_store_query,
         "kg_mis_update": _q_mis_update,
+        "str_mis_ingest": _q_str_mis_ingest,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py. corpus_clean / a1_mis_support /
@@ -2587,11 +2645,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OPTIONAL/property-path pair; s10_lg_reader / s12_topic_reader
         # (driver-green, unchanged) demoted for kg_canonical_update and
         # kg_triple_store. ----
-        # f12_las_reader / j11_prefix_match (driver-green, unchanged)
-        # demoted for kg_store_query (BGP+FILTER over the incremental
-        # store) and kg_mis_update (incremental pattern support). ----
+        # f12_las_reader / j11_prefix_match / s5_autodetect
+        # (driver-green, unchanged) demoted for kg_store_query
+        # (BGP+FILTER over the incremental store), kg_mis_update
+        # (incremental pattern support), and str_mis_ingest (its
+        # streaming twin). ----
         "f12_las_reader": _q_f12_las_reader,
         "j11_prefix_match": _q_j11_prefix_match,
+        "s5_autodetect": _q_s5_autodetect,
         "s10_lg_reader": _q_s10_lg_reader,
         "s12_topic_reader": _q_s12_topic_reader,
         "f1_valid_lines": _q_valid_lines,
@@ -3223,6 +3284,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM c5)
             SELECT l.id AS label, r.canonical_label
             FROM c5 l JOIN rep r ON l.component = r.component AND r.rn = 1
+        """,
+        "str_mis_ingest": """
+            -- full recompute of every maintained pattern's min-image
+            -- support over the union graph (base + both increments)
+            WITH sup AS (SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS s,
+                                'P' || l_partkey::VARCHAR AS o
+                         FROM lineitem),
+            hb AS (SELECT 'P' || p_partkey::VARCHAR AS s, p_brand AS o
+                   FROM part),
+            inn AS (SELECT 'S' || s_suppkey::VARCHAR AS s,
+                           'N' || s_nationkey::VARCHAR AS o
+                    FROM supplier),
+            pair AS (SELECT sup.s AS x, sup.o AS y, hb.o AS z
+                     FROM sup JOIN hb ON sup.o = hb.s)
+            SELECT 'e:supplies' AS pattern_key,
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+                     AS support FROM sup
+            UNION ALL
+            SELECT 'e:has_brand',
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+            FROM hb
+            UNION ALL
+            SELECT 'e:in_nation',
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+            FROM inn
+            UNION ALL
+            SELECT 'p:supplies|has_brand',
+                   least(count(DISTINCT x), count(DISTINCT y),
+                         count(DISTINCT z))::BIGINT
+            FROM pair
         """,
         "kg_mis_update": """
             -- full recompute of every maintained pattern's min-image

@@ -298,40 +298,76 @@ def read_mis_support(
         F.min("n_distinct").alias("support"))
 
 
-def compact_mis_store(spark: SparkSession, path: str) -> dict:
-    """Fold every segment into ``seg=base`` (postings re-bucketed to
-    one file per bucket, counts re-aggregated, edges re-packed per
-    pred) via sibling temp dirs + delete/rename swap — the live store
+def compact_mis_store(
+    spark: SparkSession,
+    path: str,
+    exclude_segs: tuple[str, ...] = (),
+) -> dict:
+    """Fold segments into ``seg=base`` (postings re-bucketed to one
+    file per bucket, counts re-aggregated, edges re-packed per pred)
+    via sibling temp dirs + delete/rename swap — the live store
     survives a mid-rewrite crash; a partial swap leaves some tables
     compacted and the rest folded by the next run (reads are
-    segment-agnostic unions, so either state resolves identically)."""
+    segment-agnostic unions, so either state resolves identically).
+
+    ``exclude_segs`` carries the named (in-flight, possibly torn)
+    segments through UNCHANGED in all three tables, so their replay
+    can still replace them wholesale; replaying against the compacted
+    base reads the identical pre-batch row set and reproduces the
+    segment byte-for-byte."""
     buckets, _pairs = _meta(spark, path)
     files_before = len(
         spark.read.parquet(f"{path}/postings").inputFiles())
 
-    postings = _all_postings(spark, path, ()).select(
-        "pattern_key", "var_pos", "node").localCheckpoint(eager=True)
-    counts = (
-        spark.read.schema(_COUNTS_SCHEMA).parquet(f"{path}/counts")
-        .groupBy("pattern_key", "var_pos")
-        .agg(F.sum("n_new").alias("n_new"))
-        .localCheckpoint(eager=True)
+    def _split(df):
+        if not exclude_segs:
+            return df, None
+        return (df.filter(~F.col("seg").isin(*exclude_segs)),
+                df.filter(F.col("seg").isin(*exclude_segs)))
+
+    post_fold, post_keep = _split(spark.read.schema(
+        _POSTINGS_SCHEMA).parquet(f"{path}/postings"))
+    postings = (
+        post_fold.select("pattern_key", "var_pos", "node")
+        .withColumn("bucket", F.pmod(F.xxhash64("node"), F.lit(buckets)))
+        .withColumn("seg", F.lit("base"))
     )
-    edges = _stored_edges(spark, path, None, ()).localCheckpoint(
-        eager=True)
+    if post_keep is not None:
+        postings = postings.unionByName(
+            post_keep.select("pattern_key", "var_pos", "node",
+                             "bucket", "seg"))
+    postings = postings.localCheckpoint(eager=True)
+
+    cnt_fold, cnt_keep = _split(spark.read.schema(
+        _COUNTS_SCHEMA).parquet(f"{path}/counts"))
+    counts = (
+        cnt_fold.groupBy("pattern_key", "var_pos")
+        .agg(F.sum("n_new").alias("n_new"))
+        .withColumn("seg", F.lit("base"))
+    )
+    if cnt_keep is not None:
+        counts = counts.unionByName(
+            cnt_keep.select("pattern_key", "var_pos", "n_new", "seg"))
+    counts = counts.localCheckpoint(eager=True)
+
+    edge_fold, edge_keep = _split(spark.read.schema(
+        _EDGES_SCHEMA).parquet(f"{path}/edges"))
+    edges = edge_fold.select("subj", "obj", "pred").withColumn(
+        "seg", F.lit("base"))
+    if edge_keep is not None:
+        edges = edges.unionByName(
+            edge_keep.select("subj", "obj", "pred", "seg"))
+    edges = edges.localCheckpoint(eager=True)
 
     _write_partitioned(
-        postings.withColumn(
-            "bucket", F.pmod(F.xxhash64("node"), F.lit(buckets)))
-        .withColumn("seg", F.lit("base")),
-        f"{path}/postings_tmp", ["bucket", "seg"], "bucket",
+        postings, f"{path}/postings_tmp", ["bucket", "seg"], "bucket",
         dynamic=False)
     _write_partitioned(
-        counts.coalesce(1).withColumn("seg", F.lit("base")),
-        f"{path}/counts_tmp", ["seg"], None, dynamic=False)
+        counts.coalesce(1), f"{path}/counts_tmp", ["seg"], None,
+        dynamic=False)
     _write_partitioned(
-        edges.withColumn("seg", F.lit("base")),
-        f"{path}/edges_tmp", ["pred", "seg"], "pred", dynamic=False)
+        edges, f"{path}/edges_tmp", ["pred", "seg"], "pred",
+        dynamic=False)
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -983,3 +983,57 @@ def streaming_component_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_mis_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    schema: str = "subj STRING, pred STRING, obj STRING",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    compact_every_n_batches: int | None = None,
+):
+    """Continuous frequent-pattern support maintenance: a stream of
+    triples (a crawl's extracted edges) folds into a persisted MIS
+    STORE (operators/mining_inc.py), so pattern supports stay current
+    as the graph grows — the mining-side twin of
+    ``streaming_component_ingest``, replacing the reference's
+    re-mine-the-window loop (DatatoPatternGraph.scala:513-588) with a
+    delta-cost fold. The store (and its pattern universe) must exist:
+    ``build_mis_store`` runs once before the stream starts.
+
+    Effectively-once under replay by the shared keyed-overwrite
+    contract: each microbatch is ``update_mis_store(update_id=
+    batch_id)``, whose writes land under ``seg=u<batch_id>`` with
+    dynamic partition overwrite and whose reads exclude that segment.
+    ``compact_every_n_batches`` folds history into ``seg=base`` at the
+    START of every n-th batch, off the support-read path, excluding the
+    current batch's own (possibly torn) segment. Returns the started
+    StreamingQuery."""
+    from nous_spark.operators.mining_inc import (
+        compact_mis_store,
+        update_mis_store,
+    )
+
+    checkpoint_dir = checkpoint_dir or f"{store_path}/_stream_checkpoint"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if (compact_every_n_batches and batch_id > 0
+                and batch_id % compact_every_n_batches == 0):
+            compact_mis_store(spark, store_path,
+                              exclude_segs=(f"u{batch_id}",))
+        update_mis_store(spark, batch_df, store_path,
+                         update_id=batch_id)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

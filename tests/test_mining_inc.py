@@ -157,3 +157,45 @@ def test_equal_pred_pair_chain(spark, tmp_path):
     build_mis_store(_df(spark, edges), path, pair_patterns=pairs, buckets=8)
     update_mis_store(spark, _df(spark, delta), path, update_id=1)
     assert _got(spark, path) == _brute_support(edges + delta, pairs)
+
+
+def test_compaction_excluding_inflight_segment(spark, tmp_path):
+    """exclude_segs carries the in-flight segment through unchanged:
+    support view identical, and the segment replay still replaces it."""
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, BASE), path, pair_patterns=PAIRS, buckets=8)
+    update_mis_store(spark, _df(spark, U1), path, update_id=1)
+    update_mis_store(spark, _df(spark, U2), path, update_id=2)
+    before = _got(spark, path)
+    compact_mis_store(spark, path, exclude_segs=("u2",))
+    assert _got(spark, path) == before
+    # the u2 replay (against the compacted base) is still byte-stable
+    update_mis_store(spark, _df(spark, U2), path, update_id=2)
+    assert _got(spark, path) == before
+
+
+def test_streaming_mis_ingest(spark, tmp_path):
+    """Triples streamed in three microbatches (auto-compaction at
+    batch 2) yield the same supports as a full recompute."""
+    import os
+
+    from nous_spark.streaming.structured import streaming_mis_ingest
+
+    batches = [U1, U2, [("q1", "knows", "d"), ("d", "likes", "q2")]]
+    src_dir = str(tmp_path / "triples_src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        _df(spark, b).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src_dir}/batch{i}.parquet")
+        os.utime(f"{src_dir}/batch{i}.parquet",
+                 (1_000_000 + i, 1_000_000 + i))
+
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, BASE), path, pair_patterns=PAIRS, buckets=8)
+    q = streaming_mis_ingest(spark, src_dir, path,
+                             compact_every_n_batches=2)
+    q.awaitTermination(120)
+    assert _got(spark, path) == _brute_support(
+        BASE + [e for b in batches for e in b], PAIRS)
