@@ -199,3 +199,20 @@ def test_streaming_mis_ingest(spark, tmp_path):
     q.awaitTermination(120)
     assert _got(spark, path) == _brute_support(
         BASE + [e for b in batches for e in b], PAIRS)
+
+
+def test_update_edges_read_is_pred_pruned(spark, tmp_path):
+    """The E-side of the delta-join terms must scan only the pair
+    predicates' partitions — at scale the store holds thousands of
+    predicates and an update touches a handful."""
+    path = str(tmp_path / "mis")
+    base = BASE + [(f"m{i}", "mentions", f"m{i+1}") for i in range(20)]
+    build_mis_store(_df(spark, base), path, pair_patterns=PAIRS, buckets=8)
+
+    from nous_spark.operators.mining_inc import _stored_edges
+    e = _stored_edges(spark, path, preds=["knows", "likes"],
+                      exclude_segs=("u1",))
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert pf and all("knows" in s and "likes" in s for s in pf), plan
+    assert all("mentions" not in s for s in pf)
