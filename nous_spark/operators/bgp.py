@@ -345,3 +345,64 @@ def match_pattern_store(
         allow_cartesian=allow_cartesian, optionals=optionals,
         filters=filters,
     )
+
+
+def construct_triples(
+    bindings: DataFrame,
+    template: Sequence[tuple[str, str, str]],
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` triple patterns once
+    per binding row (``bindings`` is a ``match_pattern`` result — one
+    column per variable). A ``?var`` term pulls the binding's value;
+    anything else is emitted literally. Template rows with a NULL
+    binding for any referenced variable are skipped for that pattern
+    only (SPARQL: incomplete triples are not emitted — the OPTIONAL
+    case), and the default ``distinct=True`` gives CONSTRUCT's
+    graph-as-set semantics.
+
+    Scale shape: one narrow select + filter per template pattern,
+    unioned — no joins, no shuffle beyond the final distinct (skipped
+    with ``distinct=False`` when the consumer dedups downstream, e.g.
+    a triple-store build)."""
+    if not template:
+        raise ValueError("template must be non-empty")
+    out = None
+    for pat in template:
+        if len(pat) != 3:
+            raise ValueError(f"template entry must be a 3-tuple: {pat!r}")
+        cols = []
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                v = term[1:]
+                if v not in bindings.columns:
+                    raise ValueError(
+                        f"template references unbound variable ?{v}")
+                cols.append(F.col(v).alias(pos))
+            else:
+                cols.append(F.lit(term).alias(pos))
+        one = bindings.select(*cols)
+        # NULL-skip: an instantiation with any NULL component (an
+        # OPTIONAL variable that missed) is not emitted
+        cond = None
+        for c in _POS:
+            cnd = F.col(c).isNotNull()
+            cond = cnd if cond is None else (cond & cnd)
+        out_pat = one.where(cond)
+        out = out_pat if out is None else out.unionByName(out_pat)
+    return out.distinct() if distinct else out
+
+
+def ask(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[str] | None = None,
+) -> bool:
+    """SPARQL ASK: does at least one binding exist? Compiled as the
+    BGP with ``limit(1)`` — Spark short-circuits the scan chain via
+    CollectLimit, so a hit on an early partition never runs the full
+    join. Returns a Python bool (a deliberate 1-row driver read)."""
+    m = match_pattern(triples, patterns, optionals=optionals,
+                      filters=filters)
+    return len(m.limit(1).collect()) > 0

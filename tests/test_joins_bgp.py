@@ -411,3 +411,50 @@ def test_bgp_filter_reaches_parquet_scan(tmp_path, spark):
     )._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters:")[1][:300]
     assert "GreaterThan(obj" in pushed, plan
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT / ASK
+# ---------------------------------------------------------------------------
+
+
+def test_construct_builds_graph_with_set_semantics(spark):
+    from nous_spark.operators.bgp import construct_triples
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    b = match_pattern(df, [("?x", "knows", "?y")])
+    g = construct_triples(b, [("?y", "known_by", "?x"),
+                              ("?x", "is", "social")])
+    rows = sorted((r.subj, r.pred, r.obj) for r in g.collect())
+    knows = {(s, o) for s, p, o in TRIPLES if p == "knows"}
+    want = sorted({(y, "known_by", x) for x, y in knows}
+                  | {(x, "is", "social") for x, _y in knows})
+    assert rows == want  # the duplicate (a knows b) collapses: set semantics
+    bag = construct_triples(b, [("?x", "is", "social")], distinct=False)
+    assert bag.count() == len([1 for _s, p, _o in TRIPLES if p == "knows"])
+
+
+def test_construct_skips_null_optional_instantiations(spark):
+    from nous_spark.operators.bgp import construct_triples
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    b = match_pattern(df, [("?x", "knows", "?y")],
+                      optionals=[[("?y", "likes", "?w")]])
+    g = construct_triples(b, [("?x", "friend_of_fan_of", "?w")])
+    rows = sorted((r.subj, r.obj) for r in g.collect())
+    # likes edges: (b likes b) -> knows(a,b) gives (a, b);
+    # (a likes c) -> knows(c,a) gives (c, c); knows-objects without a
+    # likes edge bind w NULL and are skipped
+    assert rows == [("a", "b"), ("c", "c")]
+    with pytest.raises(ValueError, match="unbound"):
+        construct_triples(b, [("?x", "p", "?nope")])
+
+
+def test_ask_short_circuits_to_bool(spark):
+    from nous_spark.operators.bgp import ask
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    assert ask(df, [("?x", "knows", "?y"), ("?y", "type", "robot")])
+    assert not ask(df, [("?x", "hates", "?y")])
+    assert not ask(df, [("?x", "knows", "?y")], filters=["x = 'zzz'"])
+    assert ask(df, [("?x", "knows", "?y")], filters=["y = 'c'"])
