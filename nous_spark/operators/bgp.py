@@ -58,6 +58,7 @@ def match_pattern(
     allow_cartesian: bool = False,
     optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns against ``triples`` and
     return one row per binding of the pattern's variables.
@@ -100,6 +101,13 @@ def match_pattern(
     identifier that is not a declared variable falls through to the SQL
     analyzer (function names resolve; an undeclared variable surfaces
     as an unresolved-column error).
+
+    ``not_exists`` — SPARQL FILTER NOT EXISTS groups: each group is
+    matched as its own BGP, projected to the variables it shares with
+    the required block, and removed from the result with one anti-join
+    (the group's private variables are purely existential). Applied
+    after the required joins and before OPTIONAL groups; a group must
+    share at least one required variable.
     """
     if not patterns:
         raise ValueError("patterns must be non-empty")
@@ -194,6 +202,26 @@ def match_pattern(
             if k not in handled and vs and vs <= seen:
                 out = out.where(F.expr(fexpr))
                 handled.add(k)
+    for g, grp in enumerate(not_exists or []):
+        # SPARQL FILTER NOT EXISTS: drop bindings for which the group
+        # matches under the shared variables — one anti-join; the
+        # group's private variables are existential and never surface.
+        # Groups must connect through REQUIRED variables (a group over
+        # an optional/unknown variable is refused: anti-joining on a
+        # possibly-NULL binding silently keeps every NULL row).
+        gdf = match_pattern(
+            triples, grp, subj_col, pred_col, obj_col,
+            allow_cartesian=allow_cartesian,
+        )
+        shared = sorted(seen & set(gdf.columns))
+        if not shared:
+            raise ValueError(
+                f"not_exists group {g} shares no variable with the "
+                "required patterns — its (non-)existence is "
+                "binding-independent; test it separately with ask()"
+            )
+        out = out.join(gdf.select(*shared).distinct(), on=shared,
+                       how="left_anti")
     introduced: set[str] = set()
     for g, grp in enumerate(optionals or []):
         gdf = match_pattern(
@@ -313,6 +341,7 @@ def match_pattern_store(
     allow_cartesian: bool = False,
     optionals: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     exclude_segs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run a BGP (with OPTIONAL groups and FILTERs) directly against an
@@ -331,7 +360,8 @@ def match_pattern_store(
     predicate below it). Any variable-predicate pattern falls back to
     the full (still patch-folded) view.
     """
-    groups = [list(patterns)] + [list(g) for g in (optionals or [])]
+    groups = ([list(patterns)] + [list(g) for g in (optionals or [])]
+              + [list(g) for g in (not_exists or [])])
     pred_terms = [p[1] for g in groups for p in g if len(p) == 3]
     preds = None
     if pred_terms and all(not _is_var(t) for t in pred_terms):
@@ -343,7 +373,7 @@ def match_pattern_store(
     return match_pattern(
         view, patterns, distinct=distinct,
         allow_cartesian=allow_cartesian, optionals=optionals,
-        filters=filters,
+        filters=filters, not_exists=not_exists,
     )
 
 

@@ -458,3 +458,26 @@ def test_ask_short_circuits_to_bool(spark):
     assert not ask(df, [("?x", "hates", "?y")])
     assert not ask(df, [("?x", "knows", "?y")], filters=["x = 'zzz'"])
     assert ask(df, [("?x", "knows", "?y")], filters=["y = 'c'"])
+
+
+def test_bgp_not_exists_matches_brute_force(spark):
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    # who knows someone, where that someone is NOT typed robot?
+    got = match_pattern(
+        df, [("?x", "knows", "?y")],
+        not_exists=[[("?y", "type", "robot")]])
+    want = sorted(
+        (e["x"], e["y"]) for e in _brute_bgp([("?x", "knows", "?y")])
+        if not any(p == "type" and s == e["y"] and o == "robot"
+                   for s, p, o in TRIPLES))
+    assert sorted((r.x, r.y) for r in got.collect()) == want
+    # multiset preserved on the kept side: the (a knows b) duplicate
+    assert [1 for r in got.collect() if (r.x, r.y) == ("a", "b")] == [1, 1]
+    # group with private existential variable
+    got2 = match_pattern(
+        df, [("?x", "type", "?t")],
+        not_exists=[[("?x", "likes", "?anyone")]])
+    assert sorted(r.x for r in got2.collect()) == ["c"]  # a and b like
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(df, [("?x", "knows", "?y")],
+                      not_exists=[[("?p", "type", "robot")]])
