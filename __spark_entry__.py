@@ -414,9 +414,6 @@ def _q_canonical_update(spark, sf):  # incremental canonical store
     )
 
 
-_TS_STORE_CACHE: dict = {}
-
-
 def _ts_store(spark, sf):  # shared build for the triple-store gates
     """Incremental triple store (operators/triple_store.py): built from
     order-placement triples + customer<->nation alias stars, then one
@@ -434,8 +431,6 @@ def _ts_store(spark, sf):  # shared build for the triple-store gates
         update_triple_store,
     )
 
-    if sf in _TS_STORE_CACHE:
-        return _TS_STORE_CACHE[sf]
 
     cust = _read(spark, sf, "customer")
     nat = _read(spark, sf, "nation")
@@ -473,7 +468,6 @@ def _ts_store(spark, sf):  # shared build for the triple-store gates
                        salt_buckets=4)
     update_triple_store(spark, delta_triples, delta_edges, path,
                         update_id=1, salt_buckets=4)
-    _TS_STORE_CACHE[sf] = path
     return path
 
 

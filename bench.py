@@ -108,6 +108,10 @@ def main() -> None:
         "kg_path_reach",
         "kg_canonical_update",
         "kg_triple_store",
+        "kg_store_query",
+        "kg_mis_update",
+        "str_mis_ingest",
+        "kg_construct",
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}

@@ -145,11 +145,20 @@ def _stored_edges(spark: SparkSession, path: str, preds: list[str],
 
 
 def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
-                    pairs: list[tuple[str, str]]) -> DataFrame:
+                    pairs: list[tuple[str, str]],
+                    broadcast_delta: bool = True) -> DataFrame:
     """All postings the delta's edges can contribute: its own 1-edge
     postings plus, per pair pattern, the melt of the three disjoint
     delta-join terms. ``prior_edges`` is None at build time (no store
-    yet), collapsing the three terms to Δ⋈Δ."""
+    yet), collapsing the three terms to Δ⋈Δ.
+
+    ``broadcast_delta`` forces the delta middle-vertex semi-filter to
+    broadcast (the common daily-increment case: delta ≪ store, no
+    stored-side shuffle at all). The caller turns it OFF for bulk
+    deltas above its threshold — a forced broadcast of an unbounded
+    vertex set is the OOM-by-default trap, so the plain semi-join (AQE
+    picks broadcast when the set turns out small anyway) degrades
+    gracefully instead."""
     out = _one_edge_postings(delta)
     for p1, p2 in pairs:
         d1 = delta.filter(F.col("pred") == p1)
@@ -163,14 +172,15 @@ def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
             # and the join never shuffles more than the touched rows
             mid_from_d1 = d1.select(F.col("obj").alias("y")).distinct()
             mid_from_d2 = d2.select(F.col("subj").alias("y")).distinct()
+            if broadcast_delta:
+                mid_from_d1 = F.broadcast(mid_from_d1)
+                mid_from_d2 = F.broadcast(mid_from_d2)
             terms.append(_pair_matches(
                 d1,
-                e2.join(F.broadcast(mid_from_d1),
-                        e2.subj == F.col("y"), "left_semi"),
+                e2.join(mid_from_d1, e2.subj == F.col("y"), "left_semi"),
             ))
             terms.append(_pair_matches(
-                e1.join(F.broadcast(mid_from_d2),
-                        e1.obj == F.col("y"), "left_semi"),
+                e1.join(mid_from_d2, e1.obj == F.col("y"), "left_semi"),
                 d2,
             ))
         matches = terms[0]
@@ -226,6 +236,7 @@ def update_mis_store(
     delta_triples: DataFrame,
     path: str,
     update_id: int,
+    broadcast_max_delta_rows: int = 2_000_000,
 ) -> dict:
     """Fold a triple delta into the support store under segment
     ``u<update_id>``. Cost ∝ delta: new matches come from the three
@@ -247,7 +258,12 @@ def update_mis_store(
     prior = _stored_edges(
         spark, path, preds=[p for pr in pairs for p in pr],
         exclude_segs=(seg,)) if touched_preds else None
-    cand = _delta_postings(delta, prior, pairs).localCheckpoint(eager=True)
+    # broadcast the delta's vertex semi-filter only while the delta is
+    # bounded; a bulk load falls back to the AQE-decided semi-join
+    small_delta = delta.count() <= broadcast_max_delta_rows
+    cand = _delta_postings(delta, prior, pairs,
+                           broadcast_delta=small_delta) \
+        .localCheckpoint(eager=True)
 
     # novelty: prune the stored postings to the candidate nodes'
     # buckets (≤ `buckets` distinct values — bounded driver collect),

@@ -216,3 +216,13 @@ def test_update_edges_read_is_pred_pruned(spark, tmp_path):
     pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
     assert pf and all("knows" in s and "likes" in s for s in pf), plan
     assert all("mentions" not in s for s in pf)
+
+
+def test_bulk_delta_path_without_broadcast_is_identical(spark, tmp_path):
+    """Above broadcast_max_delta_rows the semi-filter falls back to the
+    AQE-decided join — results must be byte-identical."""
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, BASE), path, pair_patterns=PAIRS, buckets=8)
+    update_mis_store(spark, _df(spark, U1), path, update_id=1,
+                     broadcast_max_delta_rows=0)
+    assert _got(spark, path) == _brute_support(BASE + U1, PAIRS)
