@@ -279,9 +279,16 @@ def match_union(
     return out.distinct() if distinct else out
 
 
+def path_preds(pred: str | Sequence[str]) -> list[str]:
+    """The predicate names a path element set touches (``^`` prefixes
+    stripped) — what a store read needs for partition pruning."""
+    elems = [pred] if isinstance(pred, str) else list(pred)
+    return sorted({p.lstrip("^") for p in elems})
+
+
 def match_path(
     triples: DataFrame,
-    pred: str,
+    pred: str | Sequence[str],
     min_hops: int = 1,
     max_hops: int = 3,
     subj_col: str = "subj",
@@ -294,22 +301,40 @@ def match_path(
     bound (existence semantics — each reachable pair appears once, not
     once per path).
 
-    Scale shape: BFS by join rounds. The single-predicate edge list is
-    one partition-pruned scan of a by-predicate triple store
+    ``pred`` is one path element or a list = SPARQL alternation
+    (``p1|p2``); an element prefixed ``^`` is the inverse path
+    (traversed object→subject), so ``["knows", "^knows"]`` walks the
+    undirected closure and ``"^parent"`` is ``child``. Each step of
+    the chain may use any element (the alternation's union edge set).
+
+    Scale shape: BFS by join rounds. The per-element edge lists are
+    partition-pruned scans of a by-predicate triple store
     (sources/sinks.py write_triples); each round is one equi-join of
-    the frontier against it, and the frontier is DEDUPED to distinct
-    pairs per round, so cyclic/dense graphs cost |reachable pairs| per
-    round, never path-multiplicity. Unbounded ``p+`` is deliberately
-    not offered — at web scale an unbounded transitive closure is a
-    quadratic output; callers pick the bound they can afford (the same
-    stance as pathsearch.find_paths' max_hops).
+    the frontier against their deduped union, and the frontier is
+    DEDUPED to distinct pairs per round, so cyclic/dense graphs cost
+    |reachable pairs| per round, never path-multiplicity. Unbounded
+    ``p+`` is deliberately not offered — at web scale an unbounded
+    transitive closure is a quadratic output; callers pick the bound
+    they can afford (the same stance as pathsearch.find_paths'
+    max_hops).
     """
     if not (1 <= min_hops <= max_hops):
         raise ValueError("need 1 <= min_hops <= max_hops")
+    elems = [pred] if isinstance(pred, str) else list(pred)
+    if not elems:
+        raise ValueError("pred must name at least one path element")
+    e = None
+    for el in elems:
+        name = el.lstrip("^")
+        s, o = (obj_col, subj_col) if el.startswith("^") \
+            else (subj_col, obj_col)
+        one = (
+            triples.filter(F.col(pred_col) == F.lit(name))
+            .select(F.col(s).alias("src"), F.col(o).alias("dst"))
+        )
+        e = one if e is None else e.unionByName(one)
     e = (
-        triples.filter(F.col(pred_col) == F.lit(pred))
-        .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .dropDuplicates(["src", "dst"])
     )
     frontier = e.withColumn("hops", F.lit(1))
@@ -436,3 +461,23 @@ def ask(
     m = match_pattern(triples, patterns, optionals=optionals,
                       filters=filters)
     return len(m.limit(1).collect()) > 0
+
+
+def match_path_store(
+    spark: SparkSession,
+    path: str,
+    pred: str | Sequence[str],
+    min_hops: int = 1,
+    max_hops: int = 3,
+    exclude_segs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bounded property path answered straight from an incremental
+    triple store: the read is pruned to the path's predicates (the
+    ``(pred, seg)`` partition layout makes each element one
+    partition's worth of files), and the patch chain keeps endpoints
+    canonical across increments."""
+    from nous_spark.operators.triple_store import read_triple_store
+
+    view = read_triple_store(spark, path, preds=path_preds(pred),
+                             exclude_segs=exclude_segs)
+    return match_path(view, pred, min_hops=min_hops, max_hops=max_hops)

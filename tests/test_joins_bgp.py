@@ -481,3 +481,70 @@ def test_bgp_not_exists_matches_brute_force(spark):
     with pytest.raises(ValueError, match="shares no variable"):
         match_pattern(df, [("?x", "knows", "?y")],
                       not_exists=[[("?p", "type", "robot")]])
+
+
+def test_match_path_inverse_and_alternation(spark):
+    from nous_spark.operators.bgp import match_path, path_preds
+
+    edges = [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "b"),
+             ("c", "q", "d")]
+    df = spark.createDataFrame(edges, "subj string, pred string, obj string")
+
+    def brute(elems, lo, hi):
+        E = set()
+        for s, p, o in edges:
+            if p in elems:
+                E.add((s, o))
+            if "^" + p in elems:
+                E.add((o, s))
+        best = {}
+        frontier = set(E)
+        for k in range(1, hi + 1):
+            for pair in frontier:
+                best.setdefault(pair, k)
+            frontier = {(s, d2) for s, d in frontier for d1, d2 in E
+                        if d == d1}
+        return sorted((s, d, k) for (s, d), k in best.items()
+                      if lo <= k <= hi)
+
+    # inverse only: ^p walks b->a, c->b
+    got = sorted((r.src, r.dst, r.hops) for r in
+                 match_path(df, "^p", 1, 2).collect())
+    assert got == brute(["^p"], 1, 2)
+    # alternation with mixed direction
+    got2 = sorted((r.src, r.dst, r.hops) for r in
+                  match_path(df, ["p", "^q"], 1, 3).collect())
+    assert got2 == brute(["p", "^q"], 1, 3)
+    assert path_preds(["p", "^q"]) == ["p", "q"]
+    with pytest.raises(ValueError, match="at least one"):
+        match_path(df, [])
+
+
+def test_match_path_store_prunes_and_matches(spark, tmp_path):
+    from nous_spark.operators.bgp import match_path, match_path_store
+    from nous_spark.operators.triple_store import (
+        build_triple_store, read_triple_store, update_triple_store,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("z", "other", "a")],
+        "subj string, pred string, obj string")
+    edges = spark.createDataFrame([("c", "cee")], "a string, b string")
+    path = str(tmp_path / "ts")
+    build_triple_store(base, edges, path, buckets=8, salt_buckets=2)
+    update_triple_store(
+        spark,
+        spark.createDataFrame([("c", "next", "d")],
+                              "subj string, pred string, obj string"),
+        spark.createDataFrame([("d", "deeee")], "a string, b string"),
+        path, update_id=1, salt_buckets=2)
+    got = match_path_store(spark, path, "next", 1, 3)
+    want = match_path(read_triple_store(spark, path), "next", 1, 3)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # canonicalization applied: c's edges resolve through rep 'cee'
+    assert ("a", "deeee", 3) in {(r.src, r.dst, r.hops)
+                                 for r in got.collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert pf and all("next" in s and "other" not in s for s in pf), plan
