@@ -368,6 +368,7 @@ def match_pattern_store(
     filters: Sequence[str] | None = None,
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     exclude_segs: tuple[str, ...] = (),
+    order_by_stats: bool = False,
 ) -> DataFrame:
     """Run a BGP (with OPTIONAL groups and FILTERs) directly against an
     incremental triple store (operators/triple_store.py) — the full
@@ -384,6 +385,12 @@ def match_pattern_store(
     scan (the patch join touches subj/obj only, so Catalyst moves the
     predicate below it). Any variable-predicate pattern falls back to
     the full (still patch-folded) view.
+
+    ``order_by_stats`` spends one pruned count per queried predicate to
+    break the greedy join order's bound-term ties toward the smallest
+    predicate (partition stats as the cardinality estimate — the
+    SPARQL-on-SQL selectivity heuristic); results are order-invariant,
+    only the plan shape changes.
     """
     groups = ([list(patterns)] + [list(g) for g in (optionals or [])]
               + [list(g) for g in (not_exists or [])])
@@ -395,6 +402,20 @@ def match_pattern_store(
 
     view = read_triple_store(spark, path, preds=preds,
                              exclude_segs=exclude_segs)
+    patterns = list(patterns)
+    if order_by_stats and preds:
+        # cardinality-informed join order: one metadata-cheap count per
+        # queried predicate (the scan is pruned to those partitions)
+        # re-sorts the patterns so match_pattern's greedy order breaks
+        # bound-term ties toward the smallest predicate — the standard
+        # SPARQL-on-SQL selectivity heuristic, computed from the
+        # store's own partition stats rather than guessed
+        counts = {
+            r.pred: r.n for r in view.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        patterns.sort(key=lambda p: counts.get(p[1], 0)
+                      if not _is_var(p[1]) else float("inf"))
     return match_pattern(
         view, patterns, distinct=distinct,
         allow_cartesian=allow_cartesian, optionals=optionals,

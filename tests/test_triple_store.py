@@ -180,3 +180,17 @@ def test_match_pattern_store_variable_pred_reads_full_view(spark, tmp_path):
     want = read_triple_store(spark, path)
     assert sorted((r.s, r.p, r.o) for r in got.collect()) == \
         sorted((r.subj, r.pred, r.obj) for r in want.collect())
+
+
+def test_match_pattern_store_stats_ordering_is_result_invariant(
+        spark, tmp_path):
+    from nous_spark.operators.bgp import match_pattern_store
+
+    path = str(tmp_path / "ts")
+    _build_and_update(spark, path)
+    pats = [("?who", "employs", "?mid"), ("?mid", "depends_on", "?tgt")]
+    a = match_pattern_store(spark, path, pats)
+    b = match_pattern_store(spark, path, pats, order_by_stats=True)
+    key = sorted(a.columns)
+    assert sorted(tuple(r[k] for k in key) for r in a.collect()) == \
+        sorted(tuple(r[k] for k in key) for r in b.collect())
