@@ -68,13 +68,39 @@ _COUNTS_SCHEMA = "pattern_key STRING, var_pos INT, n_new BIGINT, seg STRING"
 _EDGES_SCHEMA = "subj STRING, obj STRING, pred STRING, seg STRING"
 
 
-def _norm_pairs(pair_patterns) -> list[tuple[str, str]]:
-    pairs = [(str(a), str(b)) for a, b in (pair_patterns or [])]
-    for a, b in pairs:
+_SHAPES = {"chain": "p", "shared_subj": "l", "shared_obj": "v"}
+
+
+def _norm_pairs(pair_patterns) -> list[tuple[str, str, str]]:
+    """Normalize pair-pattern specs to (p1, p2, shape). A 2-tuple is
+    the chain shape; a 3-tuple names one of the three ways two edges
+    can share a vertex (the reference's GIP growth joins instances on
+    ANY shared data vertex, DatatoPatternGraph.scala:744-879):
+
+    - ``chain``        x -p1-> y -p2-> z   (key ``p:p1|p2``)
+    - ``shared_subj``  x <-p1- y -p2-> z   (key ``l:p1|p2``)
+    - ``shared_obj``   x -p1-> y <-p2- z   (key ``v:p1|p2``)
+    """
+    pairs = []
+    for spec in (pair_patterns or []):
+        if len(spec) == 2:
+            a, b = spec
+            shape = "chain"
+        else:
+            a, b, shape = spec
+        if shape not in _SHAPES:
+            raise ValueError(f"unknown pair shape {shape!r}; "
+                             f"one of {sorted(_SHAPES)}")
+        a, b = str(a), str(b)
         if "," in a + b or "|" in a + b:
             raise ValueError(
                 f"pair predicates may not contain ',' or '|': {(a, b)}")
+        pairs.append((a, b, shape))
     return pairs
+
+
+def _pair_key(p1: str, p2: str, shape: str) -> str:
+    return f"{_SHAPES[shape]}:{p1}|{p2}"
 
 
 def _one_edge_postings(edges: DataFrame) -> DataFrame:
@@ -106,12 +132,24 @@ def _pair_match_postings(matches: DataFrame, key) -> DataFrame:
     ).dropDuplicates(["pattern_key", "var_pos", "node"])
 
 
-def _pair_matches(e1: DataFrame, e2: DataFrame) -> DataFrame:
-    """?x -p1-> ?y -p2-> ?z bindings from an edge frame per side."""
+# per shape: (side-1 shared/other cols, side-2 shared/other cols) —
+# the shared vertex binds ?y, the free endpoints bind ?x and ?z
+_SHAPE_COLS = {
+    "chain":       (("obj", "subj"), ("subj", "obj")),
+    "shared_subj": (("subj", "obj"), ("subj", "obj")),
+    "shared_obj":  (("obj", "subj"), ("obj", "subj")),
+}
+
+
+def _pair_matches(e1: DataFrame, e2: DataFrame,
+                  shape: str = "chain") -> DataFrame:
+    """(x, y, z) bindings of a two-edge pattern: the edges join on the
+    shape's shared vertex (= ?y); ?x / ?z are the free endpoints."""
+    (s1, o1), (s2, o2) = _SHAPE_COLS[shape]
     return (
-        e1.select(F.col("subj").alias("x"), F.col("obj").alias("y"))
-        .join(e2.select(F.col("subj").alias("y"),
-                        F.col("obj").alias("z")), "y")
+        e1.select(F.col(o1).alias("x"), F.col(s1).alias("y"))
+        .join(e2.select(F.col(s2).alias("y"),
+                        F.col(o2).alias("z")), "y")
         .select("x", "y", "z")
     )
 
@@ -160,33 +198,36 @@ def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
     picks broadcast when the set turns out small anyway) degrades
     gracefully instead."""
     out = _one_edge_postings(delta)
-    for p1, p2 in pairs:
+    for p1, p2, shape in pairs:
+        (sh1, _o1), (sh2, _o2) = _SHAPE_COLS[shape]
         d1 = delta.filter(F.col("pred") == p1)
         d2 = delta.filter(F.col("pred") == p2)
-        terms = [_pair_matches(d1, d2)]
+        terms = [_pair_matches(d1, d2, shape)]
         if prior_edges is not None:
             e1 = prior_edges.filter(F.col("pred") == p1)
             e2 = prior_edges.filter(F.col("pred") == p2)
-            # semi-filter the stored side to the delta's middle-vertex
+            # semi-filter the stored side to the delta's shared-vertex
             # set before the join: the scan stays pred-partition-pruned
             # and the join never shuffles more than the touched rows
-            mid_from_d1 = d1.select(F.col("obj").alias("y")).distinct()
-            mid_from_d2 = d2.select(F.col("subj").alias("y")).distinct()
+            mid_from_d1 = d1.select(F.col(sh1).alias("y")).distinct()
+            mid_from_d2 = d2.select(F.col(sh2).alias("y")).distinct()
             if broadcast_delta:
                 mid_from_d1 = F.broadcast(mid_from_d1)
                 mid_from_d2 = F.broadcast(mid_from_d2)
             terms.append(_pair_matches(
                 d1,
-                e2.join(mid_from_d1, e2.subj == F.col("y"), "left_semi"),
+                e2.join(mid_from_d1, e2[sh2] == F.col("y"), "left_semi"),
+                shape,
             ))
             terms.append(_pair_matches(
-                e1.join(mid_from_d2, e1.obj == F.col("y"), "left_semi"),
+                e1.join(mid_from_d2, e1[sh1] == F.col("y"), "left_semi"),
                 d2,
+                shape,
             ))
         matches = terms[0]
         for t in terms[1:]:
             matches = matches.unionByName(t)
-        key = F.lit(f"p:{p1}|{p2}")
+        key = F.lit(_pair_key(p1, p2, shape))
         out = out.unionByName(_pair_match_postings(matches, key))
     return out
 
@@ -221,13 +262,19 @@ def build_mis_store(
         f"{path}/edges", ["pred", "seg"], "pred", dynamic=False)
     spark.range(1).select(
         F.lit(int(buckets)).alias("buckets"),
-        F.lit("|".join(f"{a},{b}" for a, b in pairs)).alias("pairs"),
+        F.lit("|".join(f"{a},{b},{s}" for a, b, s in pairs))
+        .alias("pairs"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _meta(spark: SparkSession, path: str):
     m = spark.read.parquet(f"{path}/meta").collect()[0]
-    pairs = [tuple(p.split(",")) for p in m.pairs.split("|") if p]
+    pairs = []
+    for p in m.pairs.split("|"):
+        if not p:
+            continue
+        f = p.split(",")
+        pairs.append((f[0], f[1], f[2] if len(f) > 2 else "chain"))
     return int(m.buckets), pairs
 
 
@@ -252,11 +299,11 @@ def update_mis_store(
         eager=True)
 
     touched_preds = sorted(
-        {p for pr in pairs for p in pr}
+        {p for pr in pairs for p in pr[:2]}
         & {r.pred for r in delta.select("pred").distinct().collect()}
     )
     prior = _stored_edges(
-        spark, path, preds=[p for pr in pairs for p in pr],
+        spark, path, preds=[p for pr in pairs for p in pr[:2]],
         exclude_segs=(seg,)) if touched_preds else None
     # broadcast the delta's vertex semi-filter only while the delta is
     # bounded; a bulk load falls back to the AQE-decided semi-join

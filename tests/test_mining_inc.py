@@ -19,6 +19,9 @@ from nous_spark.operators.mining_inc import (
 pytestmark = pytest.mark.usefixtures("spark")
 
 
+_KEYS = {"chain": "p", "shared_subj": "l", "shared_obj": "v"}
+
+
 def _brute_support(edges, pairs):
     """Pure-Python oracle: min over positions of distinct bound nodes."""
     out = {}
@@ -27,18 +30,21 @@ def _brute_support(edges, pairs):
         subs = {s for s, pp, _o in edges if pp == p}
         objs = {o for _s, pp, o in edges if pp == p}
         out[f"e:{p}"] = min(len(subs), len(objs))
-    for p1, p2 in pairs:
+    for spec in pairs:
+        p1, p2 = spec[0], spec[1]
+        shape = spec[2] if len(spec) > 2 else "chain"
         e1 = [(s, o) for s, pp, o in edges if pp == p1]
         e2 = [(s, o) for s, pp, o in edges if pp == p2]
         xs, ys, zs = set(), set(), set()
-        for x, y in e1:
-            for y2, z in e2:
+        for s1, o1 in e1:
+            # (x, shared y) of edge 1 per shape
+            x, y = (s1, o1) if shape == "chain" else                    (o1, s1) if shape == "shared_subj" else (s1, o1)
+            for s2, o2 in e2:
+                y2, z = (s2, o2) if shape == "chain" else                         (s2, o2) if shape == "shared_subj" else (o2, s2)
                 if y == y2:
                     xs.add(x); ys.add(y); zs.add(z)
-        if xs:
-            out[f"p:{p1}|{p2}"] = min(len(xs), len(ys), len(zs))
-        else:
-            out[f"p:{p1}|{p2}"] = 0
+        key = f"{_KEYS[shape]}:{p1}|{p2}"
+        out[key] = min(len(xs), len(ys), len(zs)) if xs else 0
     return {k: v for k, v in out.items() if v > 0}
 
 
@@ -226,3 +232,40 @@ def test_bulk_delta_path_without_broadcast_is_identical(spark, tmp_path):
     update_mis_store(spark, _df(spark, U1), path, update_id=1,
                      broadcast_max_delta_rows=0)
     assert _got(spark, path) == _brute_support(BASE + U1, PAIRS)
+
+
+def test_shared_subject_and_object_shapes(spark, tmp_path):
+    """Λ (shared subject) and V (shared object) two-edge shapes — the
+    other two ways the reference's growth joins instances on a shared
+    data vertex — parity against brute force through an update whose
+    matches need the stored side."""
+    edges = [("a", "p", "b"), ("a", "q", "c"), ("d", "p", "b"),
+             ("e", "q", "b")]
+    delta = [("a", "q", "z"), ("f", "p", "b"), ("g", "q", "b")]
+    pairs = [("p", "q", "shared_subj"), ("p", "q", "shared_obj")]
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, edges), path, pair_patterns=pairs, buckets=8)
+    assert _got(spark, path) == _brute_support(edges, pairs)
+    update_mis_store(spark, _df(spark, delta), path, update_id=1)
+    assert _got(spark, path) == _brute_support(edges + delta, pairs)
+
+
+def test_randomized_parity_all_shapes(spark, tmp_path):
+    rng = random.Random(88)
+    nodes = [f"n{i}" for i in range(10)]
+    preds = ["p", "q"]
+    pairs = [("p", "q", "chain"), ("p", "q", "shared_subj"),
+             ("p", "p", "shared_obj")]
+
+    def _edges(n):
+        return [(rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                for _ in range(n)]
+
+    base, d1 = _edges(20), _edges(10)
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, base), path, pair_patterns=pairs, buckets=8)
+    update_mis_store(spark, _df(spark, d1), path, update_id=1)
+    assert _got(spark, path) == _brute_support(base + d1, pairs)
+    with pytest.raises(ValueError, match="unknown pair shape"):
+        build_mis_store(_df(spark, base), str(tmp_path / "x"),
+                        pair_patterns=[("p", "q", "zigzag")])
