@@ -518,8 +518,11 @@ def _q_mis_update(spark, sf):  # incremental min-image support
     base = supplies.filter(F.col("half") == 0).drop("half").unionByName(
         has_brand)
     path = tempfile.mkdtemp(prefix="misstore_") + "/store"
-    build_mis_store(base, path,
-                    pair_patterns=[("supplies", "has_brand")], buckets=16)
+    build_mis_store(
+        base, path,
+        pair_patterns=[("supplies", "has_brand"),
+                       ("supplies", "supplies", "shared_obj")],
+        buckets=16)
     update_mis_store(spark, supplies.filter(F.col("half") == 1)
                      .drop("half"), path, update_id=1)
     update_mis_store(spark, in_nation, path, update_id=2)
@@ -576,8 +579,11 @@ def _q_str_mis_ingest(spark, sf):  # §2.9 streaming pattern support
                 os.utime(f"{src_dir}/batch{i}.parquet",
                          (1_000_000 + i, 1_000_000 + i))
     store = tempfile.mkdtemp(prefix="strmis_store_") + "/store"
-    build_mis_store(base, store,
-                    pair_patterns=[("supplies", "has_brand")], buckets=16)
+    build_mis_store(
+        base, store,
+        pair_patterns=[("supplies", "has_brand"),
+                       ("supplies", "supplies", "shared_obj")],
+        buckets=16)
     q = streaming_mis_ingest(spark, src_dir, store,
                              compact_every_n_batches=1)
     q.awaitTermination(180)
@@ -3346,6 +3352,11 @@ def oracle_sql() -> dict[str, str]:
                    least(count(DISTINCT x), count(DISTINCT y),
                          count(DISTINCT z))::BIGINT
             FROM pair
+            UNION ALL
+            SELECT 'v:supplies|supplies',
+                   least(count(DISTINCT a.s), count(DISTINCT a.o),
+                         count(DISTINCT b.s))::BIGINT
+            FROM sup a JOIN sup b ON a.o = b.o
         """,
         "kg_mis_update": """
             -- full recompute of every maintained pattern's min-image
@@ -3376,6 +3387,11 @@ def oracle_sql() -> dict[str, str]:
                    least(count(DISTINCT x), count(DISTINCT y),
                          count(DISTINCT z))::BIGINT
             FROM pair
+            UNION ALL
+            SELECT 'v:supplies|supplies',
+                   least(count(DISTINCT a.s), count(DISTINCT a.o),
+                         count(DISTINCT b.s))::BIGINT
+            FROM sup a JOIN sup b ON a.o = b.o
         """,
         "kg_store_query": """
             -- same full-recompute canonicalization as kg_triple_store,
