@@ -269,3 +269,21 @@ def test_randomized_parity_all_shapes(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown pair shape"):
         build_mis_store(_df(spark, base), str(tmp_path / "x"),
                         pair_patterns=[("p", "q", "zigzag")])
+
+
+def test_hub_vertex_matches_explode_but_postings_stay_node_bounded(
+        spark, tmp_path):
+    """A hub shared vertex makes MATCH counts explode (k stored edges x
+    1 delta edge), but the store never materializes matches — postings
+    grow by distinct nodes only."""
+    hub_edges = [(f"s{i}", "p", "hub") for i in range(200)]
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, hub_edges), path,
+                    pair_patterns=[("p", "q", "chain")], buckets=8)
+    # one delta edge out of the hub: 200 chain matches appear at once
+    stats = update_mis_store(
+        spark, _df(spark, [("hub", "q", "t")]), path, update_id=1)
+    # postings delta: e:q (hub, t) + chain pattern's 200 x's + hub + t
+    assert stats["new_postings"] <= 2 + 200 + 2
+    assert _got(spark, path) == _brute_support(
+        hub_edges + [("hub", "q", "t")], [("p", "q", "chain")])
