@@ -590,6 +590,71 @@ def _q_str_mis_ingest(spark, sf):  # §2.9 streaming pattern support
     return read_mis_support(spark, store)
 
 
+def _q_str_triple_ingest(spark, sf):  # §2.9 streaming materialization
+    """Triples with inline same_as alias links streamed in two
+    microbatches into the incremental triple store: batch 0 folds the
+    supplier located_in triples + supplier<->nation links, batch 1 the
+    nation<->region links that MERGE every region's components — the
+    streamed store must read back identical to the batch
+    build+update (same full-recompute oracle as kg_triple_store)."""
+    import os
+    import tempfile
+
+    from nous_spark.operators.triple_store import (
+        build_triple_store,
+        read_triple_store,
+    )
+    from nous_spark.streaming.structured import streaming_triple_ingest
+
+    cust = _read(spark, sf, "customer")
+    nat = _read(spark, sf, "nation")
+    reg = _read(spark, sf, "region")
+    sup = _read(spark, sf, "supplier")
+    base_edges = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_name").alias("a"), F.col("n_name").alias("b")
+    )
+    base_triples = (
+        _read(spark, sf, "orders")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("placed").alias("pred"),
+            F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+            .alias("obj"),
+        )
+    )
+    sup_nat = sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+    b0 = sup_nat.select(
+        F.col("s_name").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(sup_nat.select(
+        F.col("s_name").alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ))
+    b1 = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        F.col("n_name").alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="strts_src_")
+    for i, b in enumerate([b0, b1]):
+        d = f"{src_dir}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src_dir}/batch{i}.parquet")
+                os.utime(f"{src_dir}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    store = tempfile.mkdtemp(prefix="strts_store_") + "/store"
+    build_triple_store(base_triples, base_edges, store, buckets=16,
+                       salt_buckets=4)
+    q = streaming_triple_ingest(spark, src_dir, store)
+    q.awaitTermination(300)
+    return read_triple_store(spark, store)
+
+
 def _q_store_query(spark, sf):  # BGP + FILTER over the triple store
     """The full query path of the kg-construct service: a SPARQL BGP
     with a FILTER answered straight from the incrementally maintained
@@ -2638,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_subgraph": _q_subgraph,
         "w6_weight_bins": _q_weight_bins,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
-        "a1_mis_exact": _q_mis_exact,
         "a6_edge_signatures": _q_edge_signatures,
         "txt_subword_count": _q_subword_count,
         "str_windowed_agg": _q_windowed_agg,
@@ -2650,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mis_update": _q_mis_update,
         "str_mis_ingest": _q_str_mis_ingest,
         "kg_construct": _q_construct,
+        "str_triple_ingest": _q_str_triple_ingest,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py. corpus_clean / a1_mis_support /
@@ -2666,14 +2731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green, unchanged) demoted for kg_canonical_update and
         # kg_triple_store. ----
         # f12_las_reader / j11_prefix_match / s5_autodetect /
-        # w3_argmax_entity (driver-green, unchanged) demoted for
-        # kg_store_query (BGP+FILTER over the incremental store),
-        # kg_mis_update (incremental pattern support), str_mis_ingest
-        # (its streaming twin), and kg_construct (SPARQL CONSTRUCT). ----
+        # w3_argmax_entity / a1_mis_exact (driver-green, unchanged)
+        # demoted for kg_store_query (BGP+FILTER over the incremental
+        # store), kg_mis_update (incremental pattern support),
+        # str_mis_ingest (its streaming twin), kg_construct (SPARQL
+        # CONSTRUCT), and str_triple_ingest (streaming KG
+        # materialization). ----
         "f12_las_reader": _q_f12_las_reader,
         "j11_prefix_match": _q_j11_prefix_match,
         "s5_autodetect": _q_s5_autodetect,
         "w3_argmax_entity": _q_w3_argmax_entity,
+        "a1_mis_exact": _q_mis_exact,
         "s10_lg_reader": _q_s10_lg_reader,
         "s12_topic_reader": _q_s12_topic_reader,
         "f1_valid_lines": _q_valid_lines,
@@ -3468,6 +3536,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN rt l ON l.pred = 'located_in' AND l.subj = p.subj
             WHERE p.pred = 'placed' AND p.obj > 'O3'
             GROUP BY p.subj
+        """,
+        "str_triple_ingest": """
+            -- full recompute: canonical mapping over base UNION delta
+            -- alias edges (same string CC + rep argmax as
+            -- kg_canonical_update), applied to the union triple set
+            -- with left-join rewrites — the incrementally maintained
+            -- store (segments + rep-patch log) must read back
+            -- identically.
+            WITH e AS (
+              SELECT c.c_name AS a, n.n_name AS b
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT s.s_name, n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT n.n_name, r.r_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            sym AS (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM e
+                   UNION ALL
+                   SELECT b AS a, a AS b FROM e)
+                 WHERE a != b),
+            v AS (SELECT DISTINCT a AS id FROM sym),
+            c0 AS (SELECT id, id AS component FROM v),
+            c1 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c0
+                   UNION ALL
+                   SELECT sym.a AS id, c0.component FROM sym JOIN c0 ON c0.id = sym.b)
+                 GROUP BY id),
+            c2 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c1
+                   UNION ALL
+                   SELECT sym.a AS id, c1.component FROM sym JOIN c1 ON c1.id = sym.b)
+                 GROUP BY id),
+            c3 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c2
+                   UNION ALL
+                   SELECT sym.a AS id, c2.component FROM sym JOIN c2 ON c2.id = sym.b)
+                 GROUP BY id),
+            c4 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c3
+                   UNION ALL
+                   SELECT sym.a AS id, c3.component FROM sym JOIN c3 ON c3.id = sym.b)
+                 GROUP BY id),
+            c5 AS (SELECT id, min(component) AS component FROM (
+                   SELECT id, component FROM c4
+                   UNION ALL
+                   SELECT sym.a AS id, c4.component FROM sym JOIN c4 ON c4.id = sym.b)
+                 GROUP BY id),
+            rep AS (SELECT component, id AS canonical_label,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY length(id) DESC, id ASC) AS rn
+                   FROM c5),
+            mp AS (SELECT l.id AS label, r.canonical_label
+                  FROM c5 l JOIN rep r
+                    ON l.component = r.component AND r.rn = 1),
+            t AS (
+              SELECT c.c_name AS subj, 'placed' AS pred,
+                     'O' || o.o_orderkey AS obj
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT s.s_name, 'located_in', n.n_name
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+            SELECT coalesce(ms.canonical_label, t.subj) AS subj,
+                   t.pred,
+                   coalesce(mo.canonical_label, t.obj) AS obj
+            FROM t
+            LEFT JOIN mp ms ON t.subj = ms.label
+            LEFT JOIN mp mo ON t.obj = mo.label
         """,
         "kg_triple_store": """
             -- full recompute: canonical mapping over base UNION delta

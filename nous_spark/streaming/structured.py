@@ -1037,3 +1037,64 @@ def streaming_mis_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_triple_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    schema: str = "subj STRING, pred STRING, obj STRING",
+    edge_fn=None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous knowledge-graph materialization: a stream of
+    extracted triples folds into the incremental TRIPLE STORE
+    (operators/triple_store.py) — each microbatch's alias edges fold
+    into the canonical store, dethroned representatives land in the
+    patch log, and the batch's triples materialize under their own
+    segment. This is the last stage of the north rule's pipeline run
+    as a service: extract → canonicalize → materialize per crawl
+    increment, with a merge costing a patch row instead of a corpus
+    rewrite.
+
+    ``edge_fn(batch_df) -> DataFrame[a, b]`` derives the batch's alias
+    delta; the default treats `same_as` triples as alias edges and
+    materializes the rest — the common shape when the extractor emits
+    coreference links inline. The store must exist
+    (``build_triple_store`` runs once before the stream starts).
+
+    Effectively-once under replay by the shared keyed-overwrite
+    contract: each microbatch is ``update_triple_store(update_id=
+    batch_id)``, whose three writes are segment-keyed overwrites
+    derived deterministically from the pre-batch store state. Returns
+    the started StreamingQuery."""
+    from nous_spark.operators.triple_store import update_triple_store
+
+    checkpoint_dir = checkpoint_dir or f"{store_path}/_stream_checkpoint"
+
+    def default_edge_fn(batch_df: DataFrame) -> DataFrame:
+        return batch_df.filter(F.col("pred") == "same_as").select(
+            F.col("subj").alias("a"), F.col("obj").alias("b"))
+
+    derive = edge_fn or default_edge_fn
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        edges = derive(batch_df)
+        triples = batch_df
+        if edge_fn is None:
+            triples = batch_df.filter(F.col("pred") != "same_as")
+        update_triple_store(spark, triples, edges, store_path,
+                            update_id=batch_id)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

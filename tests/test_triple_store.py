@@ -194,3 +194,36 @@ def test_match_pattern_store_stats_ordering_is_result_invariant(
     key = sorted(a.columns)
     assert sorted(tuple(r[k] for k in key) for r in a.collect()) == \
         sorted(tuple(r[k] for k in key) for r in b.collect())
+
+
+def test_streaming_triple_ingest(spark, tmp_path):
+    """Triples (with inline same_as alias links) streamed in two
+    microbatches materialize identically to the batch build+updates —
+    including a cross-batch merge resolved through the patch log."""
+    from nous_spark.streaming.structured import streaming_triple_ingest
+
+    batches = [
+        [(s, "same_as", o) for s, o in DELTA_EDGES] + DELTA_TRIPLES,
+        [(s, "same_as", o) for s, o in MERGE_EDGES] + MERGE_TRIPLES,
+    ]
+    src_dir = str(tmp_path / "triples_src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(b, "subj string, pred string, obj string") \
+            .coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src_dir}/batch{i}.parquet")
+        os.utime(f"{src_dir}/batch{i}.parquet",
+                 (1_000_000 + i, 1_000_000 + i))
+
+    path = str(tmp_path / "ts")
+    build_triple_store(
+        spark.createDataFrame(BASE_TRIPLES, ["subj", "pred", "obj"]),
+        spark.createDataFrame(BASE_EDGES, ["a", "b"]),
+        path, buckets=8, salt_buckets=2)
+    q = streaming_triple_ingest(spark, src_dir, path)
+    q.awaitTermination(120)
+    assert _rows(read_triple_store(spark, path)) == _batch(
+        spark, BASE_TRIPLES + DELTA_TRIPLES + MERGE_TRIPLES,
+        BASE_EDGES + DELTA_EDGES + MERGE_EDGES)
