@@ -655,6 +655,60 @@ def _q_str_triple_ingest(spark, sf):  # §2.9 streaming materialization
     return read_triple_store(spark, store)
 
 
+def _q_str_pattern_watch(spark, sf):  # standing query / IVM stream
+    """Standing two-edge query (supplies ?x->?y, has_brand ?y->?z) over
+    a streamed graph: per microbatch the gate emits exactly the NEW
+    bag-semantics matches (delta rule against the pre-batch edge set).
+    Batch 0 folds the odd-suppkey supplies half (its matches need the
+    STORED has_brand side); batch 1 re-arrives a slice of already-known
+    edges — under bag semantics a duplicate edge legitimately raises
+    match multiplicity, and the oracle's EXCEPT ALL difference of
+    consecutive full bag joins must reproduce both batches exactly."""
+    import os
+    import tempfile
+
+    from nous_spark.operators.mining_inc import build_mis_store
+    from nous_spark.streaming.structured import streaming_pattern_watch
+
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part")
+    sup = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+    ).distinct()
+    hb = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("subj"),
+        F.lit("has_brand").alias("pred"),
+        F.col("p_brand").alias("obj"),
+    )
+    base = sup.filter(F.col("k") % 2 == 0).drop("k").unionByName(hb)
+    batches = [
+        sup.filter(F.col("k") % 2 == 1).drop("k"),
+        sup.filter((F.col("k") % 2 == 0) & (F.col("k") % 10 == 0))
+        .drop("k"),
+    ]
+    src_dir = tempfile.mkdtemp(prefix="strwatch_src_")
+    for i, b in enumerate(batches):
+        d = f"{src_dir}/b{i}"
+        b.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{src_dir}/batch{i}.parquet")
+                os.utime(f"{src_dir}/batch{i}.parquet",
+                         (1_000_000 + i, 1_000_000 + i))
+    store = tempfile.mkdtemp(prefix="strwatch_store_") + "/store"
+    matches = tempfile.mkdtemp(prefix="strwatch_m_") + "/matches"
+    build_mis_store(base, store,
+                    pair_patterns=[("supplies", "has_brand")], buckets=16)
+    q = streaming_pattern_watch(spark, src_dir, store, matches,
+                                ("supplies", "has_brand"))
+    q.awaitTermination(300)
+    return spark.read.parquet(matches).select(
+        "x", "y", "z", F.col("batch_id").cast("int").alias("batch_id"))
+
+
 def _q_store_query(spark, sf):  # BGP + FILTER over the triple store
     """The full query path of the kg-construct service: a SPARQL BGP
     with a FILTER answered straight from the incrementally maintained
@@ -2703,7 +2757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_subgraph": _q_subgraph,
         "w6_weight_bins": _q_weight_bins,
         "s3_web_crawl_reader": _q_s3_web_crawl_reader,
-        "a6_edge_signatures": _q_edge_signatures,
         "txt_subword_count": _q_subword_count,
         "str_windowed_agg": _q_windowed_agg,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2715,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_mis_ingest": _q_str_mis_ingest,
         "kg_construct": _q_construct,
         "str_triple_ingest": _q_str_triple_ingest,
+        "str_pattern_watch": _q_str_pattern_watch,
         # ---- past the driver 50-key cap: all previously driver-
         # verified (CORRECTNESS_r01..r07), still run every round
         # by scripts/gate_check.py. corpus_clean / a1_mis_support /
@@ -2735,13 +2789,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted for kg_store_query (BGP+FILTER over the incremental
         # store), kg_mis_update (incremental pattern support),
         # str_mis_ingest (its streaming twin), kg_construct (SPARQL
-        # CONSTRUCT), and str_triple_ingest (streaming KG
-        # materialization). ----
+        # CONSTRUCT), str_triple_ingest (streaming KG
+        # materialization), and str_pattern_watch (standing-query IVM;
+        # a6_edge_signatures demoted, driver-green r7). ----
         "f12_las_reader": _q_f12_las_reader,
         "j11_prefix_match": _q_j11_prefix_match,
         "s5_autodetect": _q_s5_autodetect,
         "w3_argmax_entity": _q_w3_argmax_entity,
         "a1_mis_exact": _q_mis_exact,
+        "a6_edge_signatures": _q_edge_signatures,
         "s10_lg_reader": _q_s10_lg_reader,
         "s12_topic_reader": _q_s12_topic_reader,
         "f1_valid_lines": _q_valid_lines,
@@ -3425,6 +3481,34 @@ def oracle_sql() -> dict[str, str]:
                    least(count(DISTINCT a.s), count(DISTINCT a.o),
                          count(DISTINCT b.s))::BIGINT
             FROM sup a JOIN sup b ON a.o = b.o
+        """,
+        "str_pattern_watch": """
+            -- exact bag-semantics IVM: per batch, new matches = the
+            -- full multiset join through that batch EXCEPT ALL the
+            -- join through the previous state
+            WITH sup AS (SELECT DISTINCT l_suppkey AS k,
+                                'S' || l_suppkey::VARCHAR AS s,
+                                'P' || l_partkey::VARCHAR AS o
+                         FROM lineitem),
+            hb AS (SELECT 'P' || p_partkey::VARCHAR AS s, p_brand AS o
+                   FROM part),
+            e0 AS (SELECT s, o FROM sup WHERE k % 2 = 0),
+            d1 AS (SELECT s, o FROM sup WHERE k % 2 = 1),
+            d2 AS (SELECT s, o FROM sup
+                   WHERE k % 2 = 0 AND k % 10 = 0),
+            m0 AS (SELECT e.s AS x, e.o AS y, hb.o AS z
+                   FROM e0 e JOIN hb ON e.o = hb.s),
+            u1 AS (SELECT * FROM e0 UNION ALL SELECT * FROM d1),
+            m1 AS (SELECT e.s AS x, e.o AS y, hb.o AS z
+                   FROM u1 e JOIN hb ON e.o = hb.s),
+            u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM d2),
+            m2 AS (SELECT e.s AS x, e.o AS y, hb.o AS z
+                   FROM u2 e JOIN hb ON e.o = hb.s)
+            SELECT x, y, z, 0::INT AS batch_id FROM
+              (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m0)
+            UNION ALL
+            SELECT x, y, z, 1::INT FROM
+              (SELECT * FROM m2 EXCEPT ALL SELECT * FROM m1)
         """,
         "kg_mis_update": """
             -- full recompute of every maintained pattern's min-image

@@ -444,3 +444,47 @@ def compact_mis_store(
     files_after = len(
         spark.read.parquet(f"{path}/postings").inputFiles())
     return {"files_before": files_before, "files_after": files_after}
+
+
+def watch_pattern_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    pair: tuple,
+    broadcast_delta: bool = True,
+    exclude_segs: tuple[str, ...] = (),
+) -> DataFrame:
+    """The NEW (x, y, z) matches a triple delta creates for one
+    registered two-edge pattern, against the MIS store's edge set —
+    incremental view maintenance under bag semantics: with the view
+    V = e1 ⋈ e2 a multiset join, the delta rule ΔV = Δ1⋈E ∪ E⋈Δ2 ∪
+    Δ1⋈Δ2 is EXACT (a re-arriving duplicate edge legitimately raises
+    match multiplicities, so no dedup pass exists to get wrong).
+    The stored side is pred-partition-pruned and semi-filtered to the
+    delta's shared-vertex set; cost ∝ delta + touched rows."""
+    _buckets, _pairs = _meta(spark, path)
+    p1, p2, shape = _norm_pairs([pair])[0]
+    d = delta.select("subj", "pred", "obj")
+    # exclude_segs: pass the in-flight segment when the caller folds
+    # the same delta afterwards — a torn prior attempt may already
+    # have landed it, and the delta rule must see PRE-batch state
+    prior = _stored_edges(spark, path, preds=[p1, p2],
+                          exclude_segs=exclude_segs)
+    (sh1, _o1), (sh2, _o2) = _SHAPE_COLS[shape]
+    d1 = d.filter(F.col("pred") == p1)
+    d2 = d.filter(F.col("pred") == p2)
+    e1 = prior.filter(F.col("pred") == p1)
+    e2 = prior.filter(F.col("pred") == p2)
+    mid_from_d1 = d1.select(F.col(sh1).alias("y")).distinct()
+    mid_from_d2 = d2.select(F.col(sh2).alias("y")).distinct()
+    if broadcast_delta:
+        mid_from_d1 = F.broadcast(mid_from_d1)
+        mid_from_d2 = F.broadcast(mid_from_d2)
+    out = _pair_matches(d1, d2, shape)
+    out = out.unionByName(_pair_matches(
+        d1, e2.join(mid_from_d1, e2[sh2] == F.col("y"), "left_semi"),
+        shape))
+    out = out.unionByName(_pair_matches(
+        e1.join(mid_from_d2, e1[sh1] == F.col("y"), "left_semi"), d2,
+        shape))
+    return out

@@ -1098,3 +1098,62 @@ def streaming_triple_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pattern_watch(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    matches_path: str,
+    pair: tuple,
+    schema: str = "subj STRING, pred STRING, obj STRING",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Standing query over the growing graph: a registered two-edge
+    pattern whose NEW matches are emitted per ingest microbatch —
+    incremental view maintenance as a stream. Each batch runs the
+    exact bag-semantics delta rule (``watch_pattern_delta``: Δ⋈E ∪
+    E⋈Δ ∪ Δ⋈Δ against the pre-batch edge set), lands the new matches
+    under ``batch_id=<k>`` with dynamic overwrite, then folds the
+    batch's edges into the MIS store — so supports AND the standing
+    query advance together, and the union of all match partitions
+    equals the from-scratch bag join at every point.
+
+    Replay contract as everywhere else: the match write is keyed by
+    batch_id and the delta rule reads exclude the batch's own segment,
+    so a torn attempt is replaced byte-for-byte. The store (with the
+    pattern pinned in its meta) must exist before the stream starts."""
+    from nous_spark.operators.mining_inc import (
+        update_mis_store,
+        watch_pattern_delta,
+    )
+
+    checkpoint_dir = checkpoint_dir or f"{store_path}/_watch_checkpoint"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_matches = watch_pattern_delta(
+            spark, batch_df, store_path, pair,
+            exclude_segs=(f"u{batch_id}",))
+        (
+            new_matches.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(matches_path)
+        )
+        update_mis_store(spark, batch_df, store_path,
+                         update_id=batch_id)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

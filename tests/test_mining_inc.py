@@ -287,3 +287,81 @@ def test_hub_vertex_matches_explode_but_postings_stay_node_bounded(
     assert stats["new_postings"] <= 2 + 200 + 2
     assert _got(spark, path) == _brute_support(
         hub_edges + [("hub", "q", "t")], [("p", "q", "chain")])
+
+
+def _brute_bag_matches(edges, p1, p2, shape="chain"):
+    """Multiset join of the two edge lists on the shape's shared
+    vertex — the IVM view, bag semantics."""
+    out = []
+    for s1, o1 in [(s, o) for s, pp, o in edges if pp == p1]:
+        x, y = (s1, o1) if shape == "chain" else \
+               (o1, s1) if shape == "shared_subj" else (s1, o1)
+        for s2, o2 in [(s, o) for s, pp, o in edges if pp == p2]:
+            y2, z = (s2, o2) if shape == "chain" else \
+                    (s2, o2) if shape == "shared_subj" else (o2, s2)
+            if y == y2:
+                out.append((x, y, z))
+    return sorted(out)
+
+
+def test_watch_pattern_delta_is_exact_bag_ivm(spark, tmp_path):
+    """union(per-batch new matches) == from-scratch bag join at every
+    point, including duplicate edge re-arrival raising multiplicity."""
+    from nous_spark.operators.mining_inc import watch_pattern_delta
+
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, BASE), path, pair_patterns=PAIRS, buckets=8)
+    seen = list(BASE)
+    acc = _brute_bag_matches(BASE, "knows", "likes")
+    # duplicate edge in U2 + fresh cross-increment matches in U1
+    for k, delta in enumerate([U1, [("a", "knows", "b"),
+                                    ("c", "likes", "d")]], start=1):
+        new = watch_pattern_delta(
+            spark, _df(spark, delta), path, ("knows", "likes"),
+            exclude_segs=(f"u{k}",))
+        got_new = sorted((r.x, r.y, r.z) for r in new.collect())
+        want_total = _brute_bag_matches(seen + delta, "knows", "likes")
+        want_new = list(want_total)
+        for m in acc:
+            want_new.remove(m)
+        assert got_new == sorted(want_new)
+        update_mis_store(spark, _df(spark, delta), path, update_id=k)
+        seen += delta
+        acc = want_total
+
+
+def test_streaming_pattern_watch(spark, tmp_path):
+    """Standing query over three streamed batches: the union of the
+    per-batch match partitions equals the from-scratch bag join, and
+    supports advanced in the same stream."""
+    import os
+
+    from nous_spark.streaming.structured import streaming_pattern_watch
+
+    batches = [U1, [("a", "knows", "b")],   # duplicate raises multiplicity
+               [("q1", "knows", "g")]]      # hits U1's (g likes h)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i, b in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        _df(spark, b).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src_dir}/batch{i}.parquet")
+        os.utime(f"{src_dir}/batch{i}.parquet",
+                 (1_000_000 + i, 1_000_000 + i))
+
+    path = str(tmp_path / "mis")
+    matches = str(tmp_path / "matches")
+    build_mis_store(_df(spark, BASE), path, pair_patterns=PAIRS, buckets=8)
+    q = streaming_pattern_watch(spark, src_dir, path, matches,
+                                ("knows", "likes"))
+    q.awaitTermination(180)
+    all_edges = BASE + [e for b in batches for e in b]
+    got = sorted((r.x, r.y, r.z)
+                 for r in spark.read.parquet(matches).collect())
+    base_matches = _brute_bag_matches(BASE, "knows", "likes")
+    want = list(_brute_bag_matches(all_edges, "knows", "likes"))
+    for m in base_matches:
+        want.remove(m)
+    assert got == sorted(want)
+    assert _got(spark, path) == _brute_support(all_edges, PAIRS)
