@@ -1137,9 +1137,10 @@ def streaming_pattern_watch(
         new_matches = watch_pattern_delta(
             spark, batch_df, store_path, pair,
             exclude_segs=(f"u{batch_id}",))
+        # no coalesce: a delta against a hot stored side can emit many
+        # matches — the write keeps the join's parallelism
         (
             new_matches.withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
