@@ -103,6 +103,15 @@ def _pair_key(p1: str, p2: str, shape: str) -> str:
     return f"{_SHAPES[shape]}:{p1}|{p2}"
 
 
+def _valid_edges(triples: DataFrame) -> DataFrame:
+    """An edge with any NULL component is not an edge (the F1
+    line-validity stance): dropped at ingestion so no store table ever
+    carries a NULL node or a NULL-bucket partition."""
+    return triples.select("subj", "pred", "obj").filter(
+        F.col("subj").isNotNull() & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull())
+
+
 def _one_edge_postings(edges: DataFrame) -> DataFrame:
     """(pattern_key e:<pred>, var_pos, node) for every edge pattern."""
     melted = edges.select(
@@ -243,7 +252,7 @@ def build_mis_store(
     are always maintained, one per predicate seen)."""
     spark = triples.sparkSession
     pairs = _norm_pairs(pair_patterns)
-    edges = triples.select("subj", "pred", "obj")
+    edges = _valid_edges(triples)
 
     postings = _delta_postings(edges, None, pairs).localCheckpoint(
         eager=True)
@@ -295,8 +304,7 @@ def update_mis_store(
     writes overwrite it."""
     buckets, pairs = _meta(spark, path)
     seg = f"u{update_id}"
-    delta = delta_triples.select("subj", "pred", "obj").localCheckpoint(
-        eager=True)
+    delta = _valid_edges(delta_triples).localCheckpoint(eager=True)
 
     touched_preds = sorted(
         {p for pr in pairs for p in pr[:2]}
@@ -464,7 +472,7 @@ def watch_pattern_delta(
     delta's shared-vertex set; cost ∝ delta + touched rows."""
     _buckets, _pairs = _meta(spark, path)
     p1, p2, shape = _norm_pairs([pair])[0]
-    d = delta.select("subj", "pred", "obj")
+    d = _valid_edges(delta)
     # exclude_segs: pass the in-flight segment when the caller folds
     # the same delta afterwards — a torn prior attempt may already
     # have landed it, and the delta rule must see PRE-batch state

@@ -365,3 +365,23 @@ def test_streaming_pattern_watch(spark, tmp_path):
         want.remove(m)
     assert got == sorted(want)
     assert _got(spark, path) == _brute_support(all_edges, PAIRS)
+
+
+def test_null_components_never_post(spark, tmp_path):
+    """A triple with a NULL component is not an edge — dropped at
+    ingestion (no NULL nodes, no NULL-bucket partitions, no phantom
+    patterns from invalid lines)."""
+    path = str(tmp_path / "mis")
+    rows = [("a", "knows", "b"), ("x", "knows", None), (None, "likes", "d")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    build_mis_store(df, path, pair_patterns=PAIRS, buckets=8)
+    got = _got(spark, path)
+    # the two NULL-component rows are not edges: only (a knows b) remains
+    assert got == {"e:knows": 1}
+    update_mis_store(
+        spark, spark.createDataFrame(
+            [(None, "knows", "z"), ("d", "knows", "c")],
+            "subj string, pred string, obj string"),
+        path, update_id=1)
+    # (None knows z) dropped; (d knows c) posts: subj {a,d}, obj {b,c}
+    assert _got(spark, path) == {"e:knows": 2}
