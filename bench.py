@@ -112,9 +112,10 @@ def main() -> None:
         "kg_mis_update",
         "str_mis_ingest",
         "kg_construct",
-        # str_triple_ingest deliberately NOT timed here: its wall is
-        # the same store build kg_triple_store already pays, plus the
-        # streaming checkpoint machinery — correctness-gated instead
+        # str_triple_ingest / str_pattern_watch deliberately NOT timed
+        # here: their walls are the same store builds kg_triple_store /
+        # kg_mis_update already pay, plus streaming checkpoint
+        # machinery — both correctness-gated instead
     ]
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
