@@ -515,17 +515,39 @@ def _q_mis_update(spark, sf):  # incremental min-image support
         F.lit("in_nation").alias("pred"),
         F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
     )
+    nat = _read(spark, sf, "nation")
+    cust = _read(spark, sf, "customer")
+    placed_by = _read(spark, sf, "orders").select(
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("subj"),
+        F.lit("placed_by").alias("pred"),
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("obj"),
+    )
+    cust_nation = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+        F.lit("cust_nation").alias("pred"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+    )
+    nation_region = nat.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("nation_region").alias("pred"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+    )
     base = supplies.filter(F.col("half") == 0).drop("half").unionByName(
-        has_brand)
+        has_brand).unionByName(placed_by)
     path = tempfile.mkdtemp(prefix="misstore_") + "/store"
     build_mis_store(
         base, path,
         pair_patterns=[("supplies", "has_brand"),
                        ("supplies", "supplies", "shared_obj")],
+        chain_patterns=[("placed_by", "cust_nation", "nation_region")],
         buckets=16)
+    # hop 2 lands in update 1, hop 3 in update 2: the chain's matches
+    # exist only through the DEEPEST telescoping term (E1 x E2 x D3)
     update_mis_store(spark, supplies.filter(F.col("half") == 1)
-                     .drop("half"), path, update_id=1)
-    update_mis_store(spark, in_nation, path, update_id=2)
+                     .drop("half").unionByName(cust_nation),
+                     path, update_id=1)
+    update_mis_store(spark, in_nation.unionByName(nation_region),
+                     path, update_id=2)
     return read_mis_support(spark, path)
 
 
@@ -3521,6 +3543,16 @@ def oracle_sql() -> dict[str, str]:
             inn AS (SELECT 'S' || s_suppkey::VARCHAR AS s,
                            'N' || s_nationkey::VARCHAR AS o
                     FROM supplier),
+            pb AS (SELECT 'O' || o_orderkey::VARCHAR AS s,
+                          'C' || o_custkey::VARCHAR AS o FROM orders),
+            cn AS (SELECT 'C' || c_custkey::VARCHAR AS s,
+                          'N' || c_nationkey::VARCHAR AS o
+                   FROM customer),
+            nr AS (SELECT 'N' || n_nationkey::VARCHAR AS s,
+                          'R' || n_regionkey::VARCHAR AS o FROM nation),
+            c3 AS (SELECT pb.s AS x, pb.o AS y, cn.o AS z, nr.o AS w
+                   FROM pb JOIN cn ON pb.o = cn.s
+                   JOIN nr ON cn.o = nr.s),
             pair AS (SELECT sup.s AS x, sup.o AS y, hb.o AS z
                      FROM sup JOIN hb ON sup.o = hb.s)
             SELECT 'e:supplies' AS pattern_key,
@@ -3544,6 +3576,23 @@ def oracle_sql() -> dict[str, str]:
                    least(count(DISTINCT a.s), count(DISTINCT a.o),
                          count(DISTINCT b.s))::BIGINT
             FROM sup a JOIN sup b ON a.o = b.o
+            UNION ALL
+            SELECT 'e:placed_by',
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+            FROM pb
+            UNION ALL
+            SELECT 'e:cust_nation',
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+            FROM cn
+            UNION ALL
+            SELECT 'e:nation_region',
+                   least(count(DISTINCT s), count(DISTINCT o))::BIGINT
+            FROM nr
+            UNION ALL
+            SELECT 'c3:placed_by|cust_nation|nation_region',
+                   least(count(DISTINCT x), count(DISTINCT y),
+                         count(DISTINCT z), count(DISTINCT w))::BIGINT
+            FROM c3
         """,
         "kg_store_query": """
             -- same full-recompute canonicalization as kg_triple_store,

@@ -191,8 +191,91 @@ def _stored_edges(spark: SparkSession, path: str, preds: list[str],
     return e.select("subj", "pred", "obj")
 
 
+def _norm_chains(chain_patterns) -> list[tuple[str, str, str]]:
+    chains = []
+    for spec in (chain_patterns or []):
+        if len(spec) != 3:
+            raise ValueError("chain_patterns entries are (p1, p2, p3)")
+        a, b, c = (str(x) for x in spec)
+        if "," in a + b + c or "|" in a + b + c:
+            raise ValueError(
+                f"chain predicates may not contain ',' or '|': {spec}")
+        chains.append((a, b, c))
+    return chains
+
+
+def _chain3_matches(e1: DataFrame, e2: DataFrame,
+                    e3: DataFrame) -> DataFrame:
+    """(x, y, z, w) bindings of ?x -p1-> ?y -p2-> ?z -p3-> ?w."""
+    return (
+        e1.select(F.col("subj").alias("x"), F.col("obj").alias("y"))
+        .join(e2.select(F.col("subj").alias("y"),
+                        F.col("obj").alias("z")), "y")
+        .join(e3.select(F.col("subj").alias("z"),
+                        F.col("obj").alias("w")), "z")
+        .select("x", "y", "z", "w")
+    )
+
+
+def _chain3_match_postings(matches: DataFrame, key) -> DataFrame:
+    melted = matches.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("var_pos"), F.col("x").alias("node")),
+        F.struct(F.lit(1).alias("var_pos"), F.col("y").alias("node")),
+        F.struct(F.lit(2).alias("var_pos"), F.col("z").alias("node")),
+        F.struct(F.lit(3).alias("var_pos"), F.col("w").alias("node")),
+    )).alias("pv"))
+    return melted.select(
+        key.alias("pattern_key"),
+        F.col("pv.var_pos").alias("var_pos"),
+        F.col("pv.node").alias("node"),
+    ).dropDuplicates(["pattern_key", "var_pos", "node"])
+
+
+def _chain3_delta_terms(delta: DataFrame, prior: DataFrame | None,
+                        p1: str, p2: str, p3: str,
+                        broadcast_delta: bool) -> DataFrame:
+    """Telescoping delta rule for the 3-way chain view V = e1⋈e2⋈e3:
+    ΔV = Δ1⋈N2⋈N3 ∪ E1⋈Δ2⋈N3 ∪ E1⋈E2⋈Δ3, with E the pre-batch
+    state and N = E+Δ — term i puts the delta at hop i, OLD state
+    before it, NEW state after it, so the terms are disjoint and their
+    union is exactly the view growth (bag semantics). Scale shape: the
+    hop adjacent to each Δ is semi-filtered to the delta's junction
+    vertices (broadcast under the caller's size guard); later hops are
+    pred-partition-pruned scans whose join input is already bounded by
+    the earlier semi-filters."""
+    d1 = delta.filter(F.col("pred") == p1)
+    d2 = delta.filter(F.col("pred") == p2)
+    d3 = delta.filter(F.col("pred") == p3)
+    if prior is None:
+        return _chain3_matches(d1, d2, d3)
+    e1 = prior.filter(F.col("pred") == p1)
+    e2 = prior.filter(F.col("pred") == p2)
+    e3 = prior.filter(F.col("pred") == p3)
+    n2 = e2.unionByName(d2)
+    n3 = e3.unionByName(d3)
+
+    def _semi(edges, col, keys):
+        if broadcast_delta:
+            keys = F.broadcast(keys)
+        return edges.join(keys, edges[col] == F.col("__k"), "left_semi")
+
+    t1 = _chain3_matches(
+        d1, _semi(n2, "subj", d1.select(F.col("obj").alias("__k"))
+                  .distinct()), n3)
+    t2 = _chain3_matches(
+        _semi(e1, "obj", d2.select(F.col("subj").alias("__k"))
+              .distinct()), d2, n3)
+    e2p = _semi(e2, "obj", d3.select(F.col("subj").alias("__k"))
+                .distinct())
+    t3 = _chain3_matches(
+        _semi(e1, "obj", e2p.select(F.col("subj").alias("__k"))
+              .distinct()), e2p, d3)
+    return t1.unionByName(t2).unionByName(t3)
+
+
 def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
                     pairs: list[tuple[str, str]],
+                    chains: list[tuple[str, str, str]] = (),
                     broadcast_delta: bool = True) -> DataFrame:
     """All postings the delta's edges can contribute: its own 1-edge
     postings plus, per pair pattern, the melt of the three disjoint
@@ -238,6 +321,11 @@ def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
             matches = matches.unionByName(t)
         key = F.lit(_pair_key(p1, p2, shape))
         out = out.unionByName(_pair_match_postings(matches, key))
+    for p1, p2, p3 in chains:
+        m = _chain3_delta_terms(delta, prior_edges, p1, p2, p3,
+                                broadcast_delta)
+        key = F.lit(f"c3:{p1}|{p2}|{p3}")
+        out = out.unionByName(_chain3_match_postings(m, key))
     return out
 
 
@@ -246,16 +334,20 @@ def build_mis_store(
     path: str,
     pair_patterns: list[tuple[str, str]] | None = None,
     buckets: int = 64,
+    chain_patterns: list[tuple[str, str, str]] | None = None,
 ) -> None:
     """Create the store from an initial triple set. ``pair_patterns``
-    pins the 2-edge universe for the store's lifetime (1-edge patterns
-    are always maintained, one per predicate seen)."""
+    (2-edge shapes) and ``chain_patterns`` (3-edge sequence paths
+    ?x-p1->?y-p2->?z-p3->?w, key ``c3:p1|p2|p3``) pin the pattern
+    universe for the store's lifetime; 1-edge patterns are always
+    maintained, one per predicate seen."""
     spark = triples.sparkSession
     pairs = _norm_pairs(pair_patterns)
+    chains = _norm_chains(chain_patterns)
     edges = _valid_edges(triples)
 
-    postings = _delta_postings(edges, None, pairs).localCheckpoint(
-        eager=True)
+    postings = _delta_postings(edges, None, pairs,
+                               chains=chains).localCheckpoint(eager=True)
     counts = postings.groupBy("pattern_key", "var_pos").agg(
         F.count(F.lit(1)).alias("n_new"))
     _write_partitioned(
@@ -273,6 +365,8 @@ def build_mis_store(
         F.lit(int(buckets)).alias("buckets"),
         F.lit("|".join(f"{a},{b},{s}" for a, b, s in pairs))
         .alias("pairs"),
+        F.lit(";".join(f"{a},{b},{c}" for a, b, c in chains))
+        .alias("chains"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -284,7 +378,13 @@ def _meta(spark: SparkSession, path: str):
             continue
         f = p.split(",")
         pairs.append((f[0], f[1], f[2] if len(f) > 2 else "chain"))
-    return int(m.buckets), pairs
+    chains = []
+    raw = m.chains if "chains" in m.__fields__ else ""
+    for p in (raw or "").split(";"):
+        if p:
+            a, b, c = p.split(",")
+            chains.append((a, b, c))
+    return int(m.buckets), pairs, chains
 
 
 def update_mis_store(
@@ -302,21 +402,23 @@ def update_mis_store(
     are the new postings + O(#patterns) count rows + the delta's own
     edges. Replayable: all reads exclude ``seg=u<update_id>``, all
     writes overwrite it."""
-    buckets, pairs = _meta(spark, path)
+    buckets, pairs, chains = _meta(spark, path)
     seg = f"u{update_id}"
     delta = _valid_edges(delta_triples).localCheckpoint(eager=True)
 
+    multi_preds = ({p for pr in pairs for p in pr[:2]}
+                   | {p for ch in chains for p in ch})
     touched_preds = sorted(
-        {p for pr in pairs for p in pr[:2]}
+        multi_preds
         & {r.pred for r in delta.select("pred").distinct().collect()}
     )
     prior = _stored_edges(
-        spark, path, preds=[p for pr in pairs for p in pr[:2]],
+        spark, path, preds=sorted(multi_preds),
         exclude_segs=(seg,)) if touched_preds else None
     # broadcast the delta's vertex semi-filter only while the delta is
     # bounded; a bulk load falls back to the AQE-decided semi-join
     small_delta = delta.count() <= broadcast_max_delta_rows
-    cand = _delta_postings(delta, prior, pairs,
+    cand = _delta_postings(delta, prior, pairs, chains=chains,
                            broadcast_delta=small_delta) \
         .localCheckpoint(eager=True)
 
@@ -386,7 +488,7 @@ def compact_mis_store(
     can still replace them wholesale; replaying against the compacted
     base reads the identical pre-batch row set and reproduces the
     segment byte-for-byte."""
-    buckets, _pairs = _meta(spark, path)
+    buckets, _pairs, _chains = _meta(spark, path)
     files_before = len(
         spark.read.parquet(f"{path}/postings").inputFiles())
 
@@ -470,7 +572,7 @@ def watch_pattern_delta(
     match multiplicities, so no dedup pass exists to get wrong).
     The stored side is pred-partition-pruned and semi-filtered to the
     delta's shared-vertex set; cost ∝ delta + touched rows."""
-    _buckets, _pairs = _meta(spark, path)
+    _buckets, _pairs, _chains = _meta(spark, path)
     p1, p2, shape = _norm_pairs([pair])[0]
     d = _valid_edges(delta)
     # exclude_segs: pass the in-flight segment when the caller folds

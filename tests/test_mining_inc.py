@@ -385,3 +385,72 @@ def test_null_components_never_post(spark, tmp_path):
         path, update_id=1)
     # (None knows z) dropped; (d knows c) posts: subj {a,d}, obj {b,c}
     assert _got(spark, path) == {"e:knows": 2}
+
+
+def _brute_chain3(edges, p1, p2, p3):
+    e1 = [(s, o) for s, pp, o in edges if pp == p1]
+    e2 = [(s, o) for s, pp, o in edges if pp == p2]
+    e3 = [(s, o) for s, pp, o in edges if pp == p3]
+    xs, ys, zs, ws = set(), set(), set(), set()
+    for x, y in e1:
+        for y2, z in e2:
+            if y != y2:
+                continue
+            for z2, w in e3:
+                if z == z2:
+                    xs.add(x); ys.add(y); zs.add(z); ws.add(w)
+    if not xs:
+        return {}
+    return {f"c3:{p1}|{p2}|{p3}": min(len(xs), len(ys), len(zs), len(ws))}
+
+
+def test_chain3_parity_through_updates(spark, tmp_path):
+    """3-edge chain supports via the telescoping delta rule — each
+    update lands the delta at a different hop so all three terms
+    (Δ⋈N⋈N, E⋈Δ⋈N, E⋈E⋈Δ) carry real matches."""
+    base = [("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d"),
+            ("x", "p", "b")]
+    u1 = [("e", "p", "b")]                   # Δ at hop 1
+    u2 = [("b", "q", "k"), ("k", "r", "m")]  # Δ at hops 2 and 3
+    u3 = [("d", "r", "n"), ("c", "r", "n")]  # Δ at hop 3 only
+    chains = [("p", "q", "r")]
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, base), path, chain_patterns=chains,
+                    buckets=8)
+
+    def want(edges):
+        out = _brute_support(edges, [])
+        out.update(_brute_chain3(edges, "p", "q", "r"))
+        return out
+
+    assert _got(spark, path) == want(base)
+    seen = list(base)
+    for k, delta in enumerate([u1, u2, u3], start=1):
+        update_mis_store(spark, _df(spark, delta), path, update_id=k)
+        seen += delta
+        assert _got(spark, path) == want(seen)
+
+
+def test_chain3_randomized_parity(spark, tmp_path):
+    rng = random.Random(33)
+    nodes = [f"n{i}" for i in range(8)]
+    preds = ["p", "q"]
+
+    def _edges(n):
+        return [(rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                for _ in range(n)]
+
+    base, d1, d2 = _edges(18), _edges(9), _edges(9)
+    chains = [("p", "q", "p"), ("q", "q", "q")]
+    path = str(tmp_path / "mis")
+    build_mis_store(_df(spark, base), path, chain_patterns=chains,
+                    buckets=8)
+    update_mis_store(spark, _df(spark, d1), path, update_id=1)
+    update_mis_store(spark, _df(spark, d2), path, update_id=2)
+    want = _brute_support(base + d1 + d2, [])
+    for c in chains:
+        want.update(_brute_chain3(base + d1 + d2, *c))
+    assert _got(spark, path) == want
+    with pytest.raises(ValueError, match="chain_patterns entries"):
+        build_mis_store(_df(spark, base), str(tmp_path / "x"),
+                        chain_patterns=[("p", "q")])
