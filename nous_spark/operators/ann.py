@@ -30,14 +30,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: crossJoin(broadcast(queries)) + window.
     queries(query_id, embedding). Returns (query_id, vec_id, cosine, rank)."""
+    from nous_spark.operators.dedup import _spread
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
     )
-    v = vectors.select(
+    # the per-row cosine is a non-codegen higher-order aggregate (~µs per
+    # vector·query) — a single-file embedding table otherwise runs the
+    # whole scoring pass in one scan task (guide §2: spread before
+    # expression-heavy per-row work; no-op at cluster file counts)
+    v = _spread(vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v_emb"),
-    )
+    ))
     scored = v.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",

@@ -25,15 +25,17 @@ _PIC_OUT_SCHEMA = "id long, cluster int, embedding double"
 _KMEANS_DRIVER_CAP = 4_000_000
 
 # symmetrized edge lists at or under this row count run the WHOLE power
-# iteration driver-side from one Arrow collect (~24 B/edge ≈ 400 MB at the
+# iteration driver-side from one Arrow collect (~24 B/edge ≈ 1.5 GB at the
 # cap — the session driver is 48 g): the distributed matvec is one shuffle
 # per round, and on a small graph every round is pure stage/scheduling
 # overhead — measured 10-12 s for a 1,000-vertex graph at local[32] vs
-# <2 s collected; the NumPy bincount matvec handles 9M edges x 6 rounds
-# in well under a second. Web-scale graphs (the 100 TB co-occurrence
-# case) exceed the cap and take the distributed join+agg path below,
-# whose plan is unchanged.
-_PIC_EDGE_DRIVER_CAP = 16_000_000
+# <2 s collected; the NumPy bincount matvec handles 46M edges x 6 rounds
+# in ~2 s (measured on the sf1 co-occurrence graph, which at 46M
+# symmetrized edges sat just above the previous 16M cap and paid 6
+# distributed shuffle rounds for a 10k-vertex problem). Web-scale graphs
+# (the 100 TB co-occurrence case) exceed the cap and take the
+# distributed join+agg path below, whose plan is unchanged.
+_PIC_EDGE_DRIVER_CAP = 64_000_000
 
 
 def _lloyd_1d(svals, k: int, kmeans_iter: int) -> list[float]:
@@ -145,11 +147,23 @@ def power_iteration_clustering(
     )
     # symmetrize with a deterministic reduction: if the input carries both
     # (a,b,w1) and (b,a,w2) or duplicate edges, max(w) wins regardless of
-    # partition order (dropDuplicates would pick an arbitrary row)
-    e = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+    # partition order (dropDuplicates would pick an arbitrary row).
+    # The max is taken over the CANONICAL (min, max) orientation first and
+    # the mirror is added after: the aggregate then shuffles each
+    # unordered pair once instead of both orientations — half the
+    # exchange bytes and half the groups (guide §2.3), with the identical
+    # symmetric result (max over an unordered pair's weights is
+    # orientation-free).
+    canon = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "w"
+        )
         .groupBy("a", "b")
         .agg(F.max("w").alias("w"))
+    )
+    e = (
+        canon.unionByName(
+            canon.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
         .persist()
     )
 

@@ -174,8 +174,17 @@ def extract_triples(
 
     ``lang_filter`` applies the S6 language filter declaratively (pushed to
     the parquet scan by Catalyst).
+
+    The source is spread to cluster parallelism before the Python stage
+    when it arrives as fewer scan partitions than cores (dedup._spread —
+    a compacted corpus increment lands as one file, and the whole
+    extraction then runs in ONE task; measured 7.4 s -> 0.6 s on a 50k-doc
+    single-file input at local[32]). A web-scale input with >= parallelism
+    files passes through untouched.
     """
-    df = _apply_lang_filter(source, lang_filter)
+    from nous_spark.operators.dedup import _spread
+
+    df = _spread(_apply_lang_filter(source, lang_filter))
     if "content_sha" not in df.columns:
         df = with_content_sha(df)
     for c in ("repo", "path", "commit"):
@@ -199,7 +208,9 @@ def extract_triples_normalized(
     docs(doc_id, repo, path, commit, lang, content_sha) — one row per file,
     carrying the sha256 invariant.
     """
-    df = _apply_lang_filter(source, lang_filter)
+    from nous_spark.operators.dedup import _spread
+
+    df = _spread(_apply_lang_filter(source, lang_filter))
     if "content_sha" not in df.columns:
         df = with_content_sha(df)
     if "doc_id" not in df.columns:

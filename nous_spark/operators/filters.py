@@ -47,16 +47,28 @@ def purge_longest_object(
     df: DataFrame, group_cols: tuple[str, ...] = ("src", "subj", "pred"),
     obj_col: str = "obj",
 ) -> DataFrame:
-    """N6/W1 (TripleParser.scala:321-329) as a window: per group keep the
-    row with the longest object (ties → lexicographically last, stable)."""
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.length(F.col(obj_col)).desc(), F.col(obj_col).desc()
+    """N6/W1 (TripleParser.scala:321-329): per group keep the row with the
+    longest object (ties → lexicographically last, stable).
+
+    Implemented as one ``max_by`` aggregation over the (length, object)
+    order key instead of a row_number window: the aggregate does partial,
+    map-side combining, so the exchange carries at most one row per group
+    per map partition rather than every row, and no per-group sort runs
+    (guide §2.3 "aggregate before you shuffle"). Among full (length, obj)
+    ties the surviving row's non-key columns are an arbitrary pick —
+    exactly the window formulation's behavior (row_number over a
+    non-total order)."""
+    others = [c for c in df.columns if c not in group_cols]
+    order_key = F.struct(
+        F.length(F.col(obj_col)).alias("l"), F.col(obj_col).alias("o")
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), order_key).alias("__m")
     )
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in others],
+    ).select(df.columns)
 
 
 def dedup_triples(df: DataFrame) -> DataFrame:

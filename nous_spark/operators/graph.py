@@ -241,8 +241,8 @@ def connected_components(
     ids (min = lexicographic for strings, matching F.min). Lineage is
     truncated every round via localCheckpoint so plans stay bounded.
 
-    Up to ``driver_edge_cap`` canonical edges, components run as a
-    driver-side union-find over one Arrow collect instead — exact,
+    Up to ``driver_edge_cap`` raw (self-loop-free) edges, components run
+    as a driver-side union-find over one Arrow collect instead — exact,
     min-root (so the representative is the component minimum for
     numbers and strings alike), one pass, none of the per-round shuffle
     + fixed-point-confirmation cost (the same capped fast-path pattern
@@ -251,28 +251,22 @@ def connected_components(
     anything larger unchanged, and sets ``stats["rounds"]``; the driver
     path sets ``stats["mode"] = "driver"`` instead. At the 16M-edge default the Arrow collect plus Python-dict working set is roughly 2-4 GiB of driver heap/RSS (two longs per edge in Arrow, then dict/set entries per vertex) — size ``spark.driver.memory`` accordingly or lower the cap.
     """
-    # canonical orientation (a > b), self-loops dropped; vertex universe
-    # is fixed from the input so star-rewiring can't lose isolated-after-
-    # filter vertices
+    # self-loops dropped; the vertex universe is fixed from the input so
+    # star-rewiring can't lose isolated-after-filter vertices
     e0 = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .filter(F.col("x") != F.col("y"))
     )
-    verts = (
-        e0.select(F.col("x").alias("id"))
-        .unionAll(e0.select(F.col("y").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    cur = (
-        e0.select(
-            F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
-        )
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
-    )
 
-    if driver_edge_cap > 0 and cur.count() <= driver_edge_cap:
+    # The cap check counts RAW (self-loop-free) edges — an upper bound on
+    # the canonical count, so the check is conservative. Checking before
+    # any shuffle lets the driver path skip the canonicalize/dedup
+    # exchange, the vertex-distinct exchange and both localCheckpoint
+    # materializations entirely (measured: those jobs, not the CC math,
+    # were ~80% of the 1.5M-edge wall): one cheap count job, one Arrow
+    # collect of the raw projection, done. Min-propagation is oriented-
+    # duplicate-insensitive, so NumPy needs no dedup either.
+    if driver_edge_cap > 0 and e0.count() <= driver_edge_cap:
         # vectorized hash-to-min over factorized vertex RANKS: sorting
         # the vertex universe first makes "min rank" == "min id" (for
         # longs and strings alike), so min-propagation + pointer
@@ -282,12 +276,12 @@ def connected_components(
         import numpy as np
         import pandas as pd
 
-        pdf = cur.toPandas()
+        pdf = e0.toPandas()
         uniq = np.unique(
-            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+            np.concatenate([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
         )  # sorted vertex universe
-        ua = np.searchsorted(uniq, pdf["a"].to_numpy())
-        va = np.searchsorted(uniq, pdf["b"].to_numpy())
+        ua = np.searchsorted(uniq, pdf["x"].to_numpy())
+        va = np.searchsorted(uniq, pdf["y"].to_numpy())
         comp = np.arange(len(uniq), dtype=np.int64)
         while True:
             prev = comp.copy()
@@ -302,11 +296,42 @@ def connected_components(
                 break
         if stats is not None:
             stats["mode"] = "driver"
-        out_pdf = pd.DataFrame({"id": uniq, "component": uniq[comp]})
-        id_type = dict(cur.dtypes)["a"]
-        return cur.sparkSession.createDataFrame(
-            out_pdf, schema=f"id {id_type}, component {id_type}"
+        id_type = dict(e0.dtypes)["x"]
+        if len(uniq) == 0:
+            return e0.sparkSession.createDataFrame(
+                [], schema=f"id {id_type}, component {id_type}"
+            )
+        # hand the mapping back as a parquet scratch file, not a
+        # driver-local relation: createDataFrame(pandas) + one downstream
+        # action measured 4.5 s at 1.65M rows (the local relation is
+        # re-shipped per job), the pyarrow write + parquet scan 0.5 s —
+        # and the multi-row-group file gives downstream consumers a
+        # splittable, re-readable input
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({"id": pa.array(uniq),
+                        "component": pa.array(uniq[comp])})
+        d = tempfile.mkdtemp(prefix="nous_cc_scratch_")
+        pq.write_table(tbl, f"{d}/mapping.parquet", row_group_size=1 << 17)
+        return e0.sparkSession.read.parquet(d)
+
+    verts = (
+        e0.select(F.col("x").alias("id"))
+        .unionAll(e0.select(F.col("y").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical orientation (a > b) for the star rounds
+    cur = (
+        e0.select(
+            F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
 
     # fixed-point detection: a cheap one-row signature scan per round
     # (count + overflow-safe decimal hash-sum — ANSI mode errors on LONG
@@ -654,32 +679,54 @@ def label_propagation(
     if driver_edge_cap > 0:
         e = e.localCheckpoint(eager=True)
         if e.count() <= driver_edge_cap:
-            from collections import Counter, defaultdict
+            # Vectorized sync rounds over factorized vertex RANKS (the
+            # vertex universe is sorted, so rank order == id order for
+            # longs and strings alike). Per round: neighbor-label pairs
+            # sorted by (vertex, label) → run-length counts → per vertex
+            # the first (count desc, label asc) row — exactly the
+            # Counter/min tie-break the per-vertex Python loop applied,
+            # which measured ~1.5 s/round at 1.5M edges vs ~0.1 s here.
+            import numpy as np
 
-            adj = defaultdict(set)
             pdf = e.toPandas()
-            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
-                adj[a].add(b)
-                adj[b].add(a)
-            label = {v: v for v in adj}
+            a = pdf["a"].to_numpy()
+            b = pdf["b"].to_numpy()
+            uniq = np.unique(np.concatenate([a, b]))
+            n = len(uniq)
+            sym_u = np.concatenate([np.searchsorted(uniq, a),
+                                    np.searchsorted(uniq, b)])
+            sym_v = np.concatenate([np.searchsorted(uniq, b),
+                                    np.searchsorted(uniq, a)])
+            label = np.arange(n, dtype=np.int64)
             rounds = 0
             for rounds in range(1, max_iter + 1):
-                nxt = {}
-                for v in adj:
-                    cnt = Counter(label[n] for n in adj[v])
-                    # max count, then smallest label — expressed as a
-                    # min over (-count, label) so the tie-break never
-                    # negates the label (string vertex ids work)
-                    mc = max(cnt.values())
-                    nxt[v] = min(lb for lb, c in cnt.items() if c == mc)
-                if nxt == label:
+                lv = label[sym_v]
+                # group neighbor labels per vertex: one int64 composite
+                # key (safe: ranks < n, n*n < 2^63 at any driver cap)
+                key = sym_u.astype(np.int64) * n + lv
+                grp, cnt = np.unique(key, return_counts=True)
+                gu = grp // n
+                gl = grp % n
+                # per vertex: count desc, label asc; lexsort is
+                # last-key-primary, and within equal (gu, cnt) the
+                # sorted `grp` order already yields ascending labels
+                order = np.lexsort((gl, -cnt, gu))
+                gu_o = gu[order]
+                first = np.ones(len(gu_o), dtype=bool)
+                first[1:] = gu_o[1:] != gu_o[:-1]
+                nxt = label.copy()
+                nxt[gu_o[first]] = gl[order][first]
+                if np.array_equal(nxt, label):
                     break
                 label = nxt
             if stats is not None:
                 stats["rounds"] = rounds
+            import pandas as pd
+
             id_type = dict(e.dtypes)["a"]
             return e.sparkSession.createDataFrame(
-                sorted(label.items()), f"id {id_type}, label {id_type}"
+                pd.DataFrame({"id": uniq, "label": uniq[label]}),
+                f"id {id_type}, label {id_type}",
             )
     sym = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))

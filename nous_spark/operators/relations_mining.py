@@ -89,13 +89,18 @@ def two_edge_signatures(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         .select("src", "dst", "pred", "src_t", "dst_t")
     )
     # per-vertex typed group counts; src_t (resp. dst_t) is constant per
-    # vertex so carrying it through the groupBy adds no keys
+    # vertex so carrying it through the groupBy adds no keys. Each group
+    # frame feeds FOUR consumers (chain join, self-join both sides,
+    # within-group term) — materialized once so Catalyst doesn't re-run
+    # the vertex-join + aggregation subtree per arm (audited: 8
+    # re-executions, the query was stage-overhead-bound; same discipline
+    # as triangle_counts)
     out_g = typed.groupBy("src", "src_t", "pred", "dst_t").agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     in_g = typed.groupBy("dst", "dst_t", "src_t", "pred").agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     chains = (
         in_g.withColumnRenamed("dst", "vid").alias("i")
         .join(out_g.withColumnRenamed("src", "vid").alias("o"), "vid")

@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split size is scale-dependent (guide §6): the 128m default
+        # leaves a compacted single-file table scanning on 1-2 cores in
+        # local mode (row groups permitting), while petabyte deployments
+        # want 512m-1g splits for sequential throughput. Parameterised via
+        # env; the local default favors scan parallelism on the small
+        # single-file inputs this mode serves.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("NOUS_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("NOUS_DRIVER_MEM", "48g"))
