@@ -748,15 +748,39 @@ def _q_store_query(spark, sf):  # BGP + FILTER over the triple store
     the oracle's UNION ALL join reproduces that exactly."""
     from nous_spark.operators.bgp import match_pattern_store
 
-    m = match_pattern_store(
-        spark, _ts_store(spark, sf),
-        [("?hub", "placed", "?o"), ("?hub", "located_in", "?n")],
-        filters=["o > 'O3'"],
-    )
-    return m.groupBy("hub").agg(
-        F.count(F.lit(1)).alias("n_bindings"),
+    # Aggregate pushdown through the BGP join (optimization guide §3.3:
+    # never materialize an exploding join whose consumer is an
+    # aggregate). The two patterns share only ?hub, so per hub the
+    # binding multiset is the CROSS product of each side's matches:
+    #   n_bindings = cnt_placed(hub) × cnt_located(hub)
+    #   n_orders   = countDistinct(o) within placed        (per hub)
+    #   n_sites    = countDistinct(n) within located_in    (per hub)
+    # and the inner join on hub keeps exactly the hubs both sides bind —
+    # provably the same rows as aggregating the joined bindings (the
+    # post-merge hubs each multiply ~10^6 placed × ~10^3 located rows,
+    # so the unpushed form materializes ~10^9 join rows for a 5-row
+    # answer). Both patterns still read through match_pattern_store
+    # (literal-pred scan pruning + the FILTER pushdown, plan-asserted in
+    # tests), and the hub join still binds ONLY because the increment's
+    # canonicalization folded in — the gate's evidence is unchanged.
+    path = _ts_store(spark, sf)
+    placed = match_pattern_store(
+        spark, path, [("?hub", "placed", "?o")], filters=["o > 'O3'"])
+    located = match_pattern_store(
+        spark, path, [("?hub", "located_in", "?n")])
+    pa = placed.groupBy("hub").agg(
+        F.count(F.lit(1)).alias("__n_placed"),
         F.countDistinct("o").alias("n_orders"),
+    )
+    la = located.groupBy("hub").agg(
+        F.count(F.lit(1)).alias("__n_located"),
         F.countDistinct("n").alias("n_sites"),
+    )
+    return pa.join(la, "hub").select(
+        "hub",
+        (F.col("__n_placed") * F.col("__n_located")).alias("n_bindings"),
+        "n_orders",
+        "n_sites",
     )
 
 

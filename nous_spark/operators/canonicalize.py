@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nous_spark.localrel import local_df
 from nous_spark.operators.graph import connected_components
 
 SAMEAS_PREDICATES = ["owl:sameas", "sameas", "rdfs:label", "skos:preflabel",
@@ -291,16 +292,15 @@ def resolve_canonical_store(
         roots = {r.component for r in cc.select("component")
                  .distinct().collect()}
         keys = roots | {old for old, new in flat.items() if new in roots}
-        kdf = spark.createDataFrame(
-            [(k,) for k in sorted(keys)], schema=f"root {meta.id_type}")
+        kdf = local_df(spark, [(k,) for k in sorted(keys)],
+                       schema=f"root {meta.id_type}")
         bks = [r.b for r in kdf.select(
             F.pmod(F.xxhash64("root"),
                    F.lit(meta.buckets)).alias("b")).distinct().collect()]
         reps = reps.filter(F.col("bucket").isin(bks)).join(kdf, "root")
     if flat:
-        rmap = spark.createDataFrame(
-            sorted(flat.items()),
-            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        rmap = local_df(spark, sorted(flat.items()),
+                        schema=f"root {meta.id_type}, __new {meta.id_type}")
         reps = (
             reps.join(F.broadcast(rmap), "root", "left")
             .withColumn("root", F.coalesce("__new", "root"))
@@ -348,9 +348,8 @@ def compact_canonical_store(
     flat = dict(_flatten_remap(_read_remap(
         spark, path + "/cc", meta.id_type, exclude_segs=exclude_segs)))
     if flat:
-        rmap = spark.createDataFrame(
-            sorted(flat.items()),
-            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        rmap = local_df(spark, sorted(flat.items()),
+                        schema=f"root {meta.id_type}, __new {meta.id_type}")
         fold = (
             fold.join(F.broadcast(rmap), "root", "left")
             .withColumn("root", F.coalesce("__new", "root"))
@@ -410,8 +409,8 @@ def _final_reps(
     resolved = {r: flat.get(r, r) for r in roots}
     targets = set(resolved.values())
     keys = targets | {old for old, new in flat.items() if new in targets}
-    kdf = spark.createDataFrame(
-        [(k,) for k in sorted(keys)], schema=f"root {meta.id_type}")
+    kdf = local_df(spark, [(k,) for k in sorted(keys)],
+                   schema=f"root {meta.id_type}")
     bks = [r.b for r in kdf.select(
         F.pmod(F.xxhash64("root"),
                F.lit(meta.buckets)).alias("b")).distinct().collect()]
@@ -423,9 +422,8 @@ def _final_reps(
         reps = reps.filter(~F.col("seg").isin(*exclude_segs))
     reps = reps.join(F.broadcast(kdf), "root")
     if flat:
-        rmap = spark.createDataFrame(
-            sorted(flat.items()),
-            schema=f"root {meta.id_type}, __new {meta.id_type}")
+        rmap = local_df(spark, sorted(flat.items()),
+                        schema=f"root {meta.id_type}, __new {meta.id_type}")
         reps = (
             reps.join(F.broadcast(rmap), "root", "left")
             .withColumn("root", F.coalesce("__new", "root"))

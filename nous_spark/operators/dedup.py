@@ -464,10 +464,12 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a",
                     # cluster minimum without a second pass
                     lo, hi = min(ru, rv), max(ru, rv)
                     parent[hi] = lo
+            from nous_spark.localrel import local_df
+
             rows = [(x, find(x)) for x in parent]
             id_type = dict(e.dtypes)["src"]
-            return e.sparkSession.createDataFrame(
-                rows, f"id {id_type}, keeper_id {id_type}"
+            return local_df(
+                e.sparkSession, rows, f"id {id_type}, keeper_id {id_type}"
             )
     comp = connected_components(e)
     return comp.select("id", F.col("component").alias("keeper_id"))

@@ -146,8 +146,11 @@ def dictionary_encode(
     for pid in range(max(part_counts, default=-1) + 1):
         offsets.append((pid, acc))
         acc += part_counts.get(pid, 0)
+    from nous_spark.localrel import local_df
+
     offsets_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], ["__pid", "__offset"])
+        local_df(spark, offsets or [(0, 0)],
+                 "__pid int, __offset bigint")
     )
     local_w = Window.partitionBy("__pid").orderBy("label")
     dictionary = (
@@ -607,8 +610,11 @@ def k_core(
                     changed = True
         if stats is not None:
             stats["converged"] = True
+        from nous_spark.localrel import local_df
+
         id_type = dict(cur.dtypes)["a"]
-        return cur.sparkSession.createDataFrame(
+        return local_df(
+            cur.sparkSession,
             sorted((v, len(ns)) for v, ns in adj.items()),
             f"id {id_type}, core_degree bigint",
         )

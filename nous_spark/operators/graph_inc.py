@@ -65,10 +65,12 @@ def _apply_remap(mapping: DataFrame, remap_rows,
     streams through untouched — no corpus shuffle."""
     if not remap_rows:
         return mapping
+    from nous_spark.localrel import local_df
+
     spark = mapping.sparkSession
     typ = dict(mapping.dtypes)[comp_col]
-    r = spark.createDataFrame(
-        _flatten_remap(remap_rows), schema=f"{comp_col} {typ}, __new {typ}")
+    r = local_df(spark, _flatten_remap(remap_rows),
+                 schema=f"{comp_col} {typ}, __new {typ}")
     return (
         mapping.join(F.broadcast(r), comp_col, "left")
         .withColumn(comp_col, F.coalesce("__new", comp_col))
@@ -345,13 +347,11 @@ def update_component_store(
         .select(F.col("root").alias("id")).distinct().collect()
     }
     remap_delta = [(a, b) for a, b in remap_rows if a in old_roots]
+    from nous_spark.localrel import local_df
+
     typ = meta.id_type
-    if remap_delta:
-        rdf = spark.createDataFrame(
-            remap_delta, schema=f"component {typ}, new_component {typ}")
-    else:
-        rdf = spark.createDataFrame(
-            [], schema=f"component {typ}, new_component {typ}")
+    rdf = local_df(spark, remap_delta,
+                   schema=f"component {typ}, new_component {typ}")
     (
         rdf.withColumn("seg", F.lit(seg))
         .coalesce(1)
@@ -456,8 +456,10 @@ def compact_component_store(
             .filter(F.col("seg").isin(*exclude_segs)).collect()
         ]
     if kept_remap:
-        spark.createDataFrame(
-            kept_remap,
+        from nous_spark.localrel import local_df
+
+        local_df(
+            spark, kept_remap,
             schema=f"component {typ}, new_component {typ}, seg STRING",
         ).coalesce(1).write.mode("overwrite").partitionBy("seg").parquet(
             f"{path}/remap_compact_tmp")

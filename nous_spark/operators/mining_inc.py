@@ -141,6 +141,68 @@ def _pair_match_postings(matches: DataFrame, key) -> DataFrame:
     ).dropDuplicates(["pattern_key", "var_pos", "node"])
 
 
+def _pair_postings_sets(e1: DataFrame, e2: DataFrame, shape: str,
+                        key, symmetric: bool = False) -> DataFrame:
+    """Per-position DISTINCT node sets of a two-edge pattern, computed
+    with semi-joins — never the match multiset. Equivalent to melting
+    ``_pair_matches`` and deduplicating (a node is bound at ?x iff its
+    e1 row has ≥1 e2 partner on the shared vertex, symmetrically for
+    ?z, and ?y iff the vertex appears on both sides), but cost stays
+    O(edges): the matches themselves are Σ deg₁(y)·deg₂(y) — quadratic
+    in hub degree, 180M rows for one self-pair at sf1 — and the support
+    measure only ever consumes the distinct sets (module docstring)."""
+    (s1, o1), (s2, o2) = _SHAPE_COLS[shape]
+    # DISTINCT key frames for the semis: the aggregate bounds the right
+    # side at the shared-vertex population, so AQE sees a small relation
+    # and picks broadcast — a raw edge projection forces a sort-merge
+    # semi that shuffles the full million-row left side
+    y2 = e2.select(F.col(s2).alias("__y")).distinct()
+    y1 = e1.select(F.col(s1).alias("__y")).distinct()
+    m1 = e1.join(y2, e1[s1] == F.col("__y"), "left_semi")
+    if symmetric and s1 == s2:
+        # self-pair on a shared vertex of the SAME role: m2 ≡ m1 and the
+        # ?z position set ≡ the ?x set — one semi instead of two
+        m2 = m1
+    else:
+        m2 = e2.join(y1, e2[s2] == F.col("__y"), "left_semi")
+    out = (
+        m1.select(F.lit(0).alias("var_pos"), F.col(o1).alias("node"))
+        .unionByName(
+            m1.select(F.lit(1).alias("var_pos"), F.col(s1).alias("node")))
+        .unionByName(
+            m2.select(F.lit(2).alias("var_pos"), F.col(o2).alias("node")))
+    )
+    # NOT deduplicated here: the caller unions the delta terms of one
+    # pattern and deduplicates the union once
+    return out.select(key.alias("pattern_key"), "var_pos", "node")
+
+
+def _chain3_postings_sets(e1: DataFrame, e2: DataFrame, e3: DataFrame,
+                          key) -> DataFrame:
+    """Per-position DISTINCT node sets of ?x-p1->?y-p2->?z-p3->?w via
+    semi-join chains (see ``_pair_postings_sets`` for why): a middle
+    edge participates iff its subj ∈ e1.obj and its obj ∈ e3.subj;
+    the end positions then semi-filter against the surviving middles."""
+    b_c = e2.join(e3.select(F.col("subj").alias("__k")).distinct(),
+                  e2["obj"] == F.col("__k"), "left_semi")
+    b_mid = b_c.join(e1.select(F.col("obj").alias("__k")).distinct(),
+                     b_c["subj"] == F.col("__k"), "left_semi")
+    xs = e1.join(b_c.select(F.col("subj").alias("__k")).distinct(),
+                 e1["obj"] == F.col("__k"), "left_semi") \
+        .select(F.lit(0).alias("var_pos"), F.col("subj").alias("node"))
+    ys = b_mid.select(F.lit(1).alias("var_pos"),
+                      F.col("subj").alias("node"))
+    zs = b_mid.select(F.lit(2).alias("var_pos"),
+                      F.col("obj").alias("node"))
+    ws = e3.join(b_mid.select(F.col("obj").alias("__k")).distinct(),
+                 e3["subj"] == F.col("__k"), "left_semi") \
+        .select(F.lit(3).alias("var_pos"), F.col("obj").alias("node"))
+    out = xs.unionByName(ys).unionByName(zs).unionByName(ws)
+    # NOT deduplicated here: the caller unions the delta terms of one
+    # pattern and deduplicates the union once
+    return out.select(key.alias("pattern_key"), "var_pos", "node")
+
+
 # per shape: (side-1 shared/other cols, side-2 shared/other cols) —
 # the shared vertex binds ?y, the free endpoints bind ?x and ?z
 _SHAPE_COLS = {
@@ -165,7 +227,15 @@ def _pair_matches(e1: DataFrame, e2: DataFrame,
 
 def _write_partitioned(df: DataFrame, path: str, part_cols: list[str],
                        repart_col: str | None, dynamic: bool) -> None:
-    if repart_col is not None:
+    if repart_col == "pred":
+        # a plain repartition("pred") gives ONE write task per predicate
+        # — a 3M-row single-pred delta serialized by one core. Salting
+        # inside the pred keeps the (pred, seg) directory layout and
+        # file-level pruning, just with 8 files per partition written in
+        # parallel.
+        df = df.repartition(F.col("pred"),
+                            F.pmod(F.xxhash64("subj"), F.lit(8)))
+    elif repart_col is not None:
         df = df.repartition(F.col(repart_col))
     w = df.write.mode("overwrite")
     if dynamic:
@@ -273,10 +343,71 @@ def _chain3_delta_terms(delta: DataFrame, prior: DataFrame | None,
     return t1.unionByName(t2).unionByName(t3)
 
 
+def _chain3_delta_postings(delta: DataFrame, prior: DataFrame | None,
+                           p1: str, p2: str, p3: str,
+                           broadcast_delta: bool, key,
+                           delta_preds: set | None = None):
+    """Per-position node sets of the 3-chain's telescoping delta terms
+    (same term structure and semi-filters as ``_chain3_delta_terms``,
+    which ``watch``-style match consumers keep using), with each term's
+    positions computed by ``_chain3_postings_sets`` instead of a match
+    materialization. Only key sets derived DIRECTLY from the delta are
+    force-broadcast; the t3 e2p-derived set is bounded by stored-side
+    fan-in, not the delta, so it goes through a plain left_semi and AQE
+    picks broadcast when it is actually small."""
+    def _has(p):
+        return delta_preds is None or p in delta_preds
+
+    d1 = delta.filter(F.col("pred") == p1)
+    d2 = delta.filter(F.col("pred") == p2)
+    d3 = delta.filter(F.col("pred") == p3)
+    if prior is None:
+        if not (_has(p1) and _has(p2) and _has(p3)):
+            return None
+        return _chain3_postings_sets(d1, d2, d3, key)
+    e1 = prior.filter(F.col("pred") == p1)
+    e2 = prior.filter(F.col("pred") == p2)
+    e3 = prior.filter(F.col("pred") == p3)
+    n2 = e2.unionByName(d2)
+    n3 = e3.unionByName(d3)
+
+    def _semi(edges, col, keys, force_broadcast):
+        if force_broadcast and broadcast_delta:
+            keys = F.broadcast(keys)
+        return edges.join(keys, edges[col] == F.col("__k"), "left_semi")
+
+    # term i exists only when the delta HAS rows of hop i's predicate —
+    # the pred presence set is collected once by the caller, so an
+    # absent hop skips its whole semi/scan subtree instead of running
+    # joins whose delta side is provably empty
+    terms = []
+    if _has(p1):
+        terms.append(_chain3_postings_sets(
+            d1, _semi(n2, "subj", d1.select(F.col("obj").alias("__k"))
+                      .distinct(), True), n3, key))
+    if _has(p2):
+        terms.append(_chain3_postings_sets(
+            _semi(e1, "obj", d2.select(F.col("subj").alias("__k"))
+                  .distinct(), True), d2, n3, key))
+    if _has(p3):
+        e2p = _semi(e2, "obj", d3.select(F.col("subj").alias("__k"))
+                    .distinct(), True)
+        terms.append(_chain3_postings_sets(
+            _semi(e1, "obj", e2p.select(F.col("subj").alias("__k"))
+                  .distinct(), False), e2p, d3, key))
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
                     pairs: list[tuple[str, str]],
                     chains: list[tuple[str, str, str]] = (),
-                    broadcast_delta: bool = True) -> DataFrame:
+                    broadcast_delta: bool = True,
+                    delta_preds: set | None = None) -> DataFrame:
     """All postings the delta's edges can contribute: its own 1-edge
     postings plus, per pair pattern, the melt of the three disjoint
     delta-join terms. ``prior_edges`` is None at build time (no store
@@ -289,43 +420,62 @@ def _delta_postings(delta: DataFrame, prior_edges: DataFrame | None,
     vertex set is the OOM-by-default trap, so the plain semi-join (AQE
     picks broadcast when the set turns out small anyway) degrades
     gracefully instead."""
+    def _has(p):
+        return delta_preds is None or p in delta_preds
+
     out = _one_edge_postings(delta)
     for p1, p2, shape in pairs:
+        if not (_has(p1) or _has(p2)):
+            continue  # no delta rows on either hop: no new matches
         (sh1, _o1), (sh2, _o2) = _SHAPE_COLS[shape]
         d1 = delta.filter(F.col("pred") == p1)
         d2 = delta.filter(F.col("pred") == p2)
-        terms = [_pair_matches(d1, d2, shape)]
+        key = F.lit(_pair_key(p1, p2, shape))
+        terms = []
+        if _has(p1) and _has(p2):
+            terms.append(_pair_postings_sets(d1, d2, shape, key,
+                                             symmetric=(p1 == p2)))
         if prior_edges is not None:
             e1 = prior_edges.filter(F.col("pred") == p1)
             e2 = prior_edges.filter(F.col("pred") == p2)
             # semi-filter the stored side to the delta's shared-vertex
-            # set before the join: the scan stays pred-partition-pruned
-            # and the join never shuffles more than the touched rows
+            # set before the position-set semis: the scan stays
+            # pred-partition-pruned and no join input exceeds the
+            # touched rows
             mid_from_d1 = d1.select(F.col(sh1).alias("y")).distinct()
             mid_from_d2 = d2.select(F.col(sh2).alias("y")).distinct()
             if broadcast_delta:
                 mid_from_d1 = F.broadcast(mid_from_d1)
                 mid_from_d2 = F.broadcast(mid_from_d2)
-            terms.append(_pair_matches(
-                d1,
-                e2.join(mid_from_d1, e2[sh2] == F.col("y"), "left_semi"),
-                shape,
-            ))
-            terms.append(_pair_matches(
-                e1.join(mid_from_d2, e1[sh1] == F.col("y"), "left_semi"),
-                d2,
-                shape,
-            ))
-        matches = terms[0]
+            if _has(p1):
+                terms.append(_pair_postings_sets(
+                    d1,
+                    e2.join(mid_from_d1, e2[sh2] == F.col("y"),
+                            "left_semi"),
+                    shape, key,
+                ))
+            if _has(p2):
+                terms.append(_pair_postings_sets(
+                    e1.join(mid_from_d2, e1[sh1] == F.col("y"),
+                            "left_semi"),
+                    d2,
+                    shape, key,
+                ))
+        if not terms:
+            continue
+        pat = terms[0]
         for t in terms[1:]:
-            matches = matches.unionByName(t)
-        key = F.lit(_pair_key(p1, p2, shape))
-        out = out.unionByName(_pair_match_postings(matches, key))
+            pat = pat.unionByName(t)
+        out = out.unionByName(
+            pat.dropDuplicates(["pattern_key", "var_pos", "node"]))
     for p1, p2, p3 in chains:
-        m = _chain3_delta_terms(delta, prior_edges, p1, p2, p3,
-                                broadcast_delta)
         key = F.lit(f"c3:{p1}|{p2}|{p3}")
-        out = out.unionByName(_chain3_match_postings(m, key))
+        pat = _chain3_delta_postings(delta, prior_edges, p1, p2, p3,
+                                     broadcast_delta, key,
+                                     delta_preds=delta_preds)
+        if pat is not None:
+            out = out.unionByName(
+                pat.dropDuplicates(["pattern_key", "var_pos", "node"]))
     return out
 
 
@@ -344,7 +494,11 @@ def build_mis_store(
     spark = triples.sparkSession
     pairs = _norm_pairs(pair_patterns)
     chains = _norm_chains(chain_patterns)
-    edges = _valid_edges(triples)
+    # materialize once: the edge frame feeds the postings computation
+    # (several semi arms) AND the edges-table write — an expensive
+    # caller-side input (e.g. a distinct over a raw fact table) would
+    # otherwise be recomputed per consumer
+    edges = _valid_edges(triples).localCheckpoint(eager=True)
 
     postings = _delta_postings(edges, None, pairs,
                                chains=chains).localCheckpoint(eager=True)
@@ -408,10 +562,8 @@ def update_mis_store(
 
     multi_preds = ({p for pr in pairs for p in pr[:2]}
                    | {p for ch in chains for p in ch})
-    touched_preds = sorted(
-        multi_preds
-        & {r.pred for r in delta.select("pred").distinct().collect()}
-    )
+    delta_preds = {r.pred for r in delta.select("pred").distinct().collect()}
+    touched_preds = sorted(multi_preds & delta_preds)
     prior = _stored_edges(
         spark, path, preds=sorted(multi_preds),
         exclude_segs=(seg,)) if touched_preds else None
@@ -419,7 +571,8 @@ def update_mis_store(
     # bounded; a bulk load falls back to the AQE-decided semi-join
     small_delta = delta.count() <= broadcast_max_delta_rows
     cand = _delta_postings(delta, prior, pairs, chains=chains,
-                           broadcast_delta=small_delta) \
+                           broadcast_delta=small_delta,
+                           delta_preds=delta_preds) \
         .localCheckpoint(eager=True)
 
     # novelty: prune the stored postings to the candidate nodes'

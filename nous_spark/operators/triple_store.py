@@ -117,9 +117,11 @@ def update_triple_store(
     patches = rep_changes(spark, cpath, update_id)
     meta = spark.read.parquet(f"{cpath}/cc/meta").collect()[0]
     if patches:
+        from nous_spark.localrel import local_df
+
         (
-            spark.createDataFrame(
-                sorted(patches.items()),
+            local_df(
+                spark, sorted(patches.items()),
                 schema=f"old {meta.id_type}, new {meta.id_type}")
             .withColumn("seg", F.lit(seg))
             .coalesce(1)
@@ -177,8 +179,10 @@ def read_triple_store(
     flat = _patch_map(spark, path, exclude_segs)
     if not flat:
         return t
+    from nous_spark.localrel import local_df
+
     typ = dict(t.dtypes)["subj"]
-    rmap = spark.createDataFrame(flat, schema=f"old {typ}, new {typ}")
+    rmap = local_df(spark, flat, schema=f"old {typ}, new {typ}")
     for col in ("subj", "obj"):
         m = F.broadcast(rmap.select(F.col("old").alias(col),
                                     F.col("new").alias(f"__p_{col}")))
