@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nous_spark.localrel import local_df
 from nous_spark.operators.graph import connected_components
 
 
@@ -65,8 +66,6 @@ def _apply_remap(mapping: DataFrame, remap_rows,
     streams through untouched — no corpus shuffle."""
     if not remap_rows:
         return mapping
-    from nous_spark.localrel import local_df
-
     spark = mapping.sparkSession
     typ = dict(mapping.dtypes)[comp_col]
     r = local_df(spark, _flatten_remap(remap_rows),
@@ -129,18 +128,18 @@ def update_components(
         .select("rx", "ry")
         .filter(F.col("rx") != F.col("ry"))
         .dropDuplicates(["rx", "ry"])
+        .localCheckpoint(eager=True)  # feeds isEmpty + the CC run
     )
     if contracted.isEmpty():
         remap_rows: list = []
         cc_small = None
     else:
-        cc_small = connected_components(contracted, "rx", "ry") \
-            .localCheckpoint(eager=True)
-        remap_rows = [
-            (r.id, r.component)
-            for r in cc_small.filter(F.col("id") != F.col("component"))
-            .collect()
-        ]
+        cc_small = connected_components(contracted, "rx", "ry")
+        # Arrow collect: a bulk delta's merge set is root-count-sized
+        # (1.5M rows on an initial load) — Row-object collect() measured
+        # ~10 s there, toPandas ~1 s
+        rm = cc_small.filter(F.col("id") != F.col("component")).toPandas()
+        remap_rows = list(zip(rm["id"].tolist(), rm["component"].tolist()))
     if stats is not None:
         stats["touched_roots"] = roots.count()
         stats["merged_roots"] = len(remap_rows)
@@ -311,9 +310,50 @@ def update_component_store(
     looked_up = _mapping_with_prune(
         spark, path, meta.buckets, meta.id_type, verts,
         exclude_segs=(seg,)
-    ).select("id", "component")
+    ).select("id", "component").localCheckpoint(eager=True)
     prior_remap = _read_remap(spark, path, meta.id_type,
                               exclude_segs=(seg,))
+    if looked_up.isEmpty():
+        # bulk/fresh fast path: no delta vertex exists in the store, so
+        # roots are self, the contracted graph IS the delta, and the
+        # update degenerates to one connected-components run written as
+        # the segment — identical rows to the general path (old_roots is
+        # empty, so the remap delta is empty and every vertex lands with
+        # its component root), minus the contraction joins, the remap
+        # flatten/broadcast and the per-root bookkeeping the general
+        # path pays. This is the initial-load shape of every streaming
+        # ingest.
+        comp = connected_components(e, "x", "y")
+        rdf0 = local_df(
+            spark, [],
+            schema=f"component {meta.id_type}, new_component {meta.id_type}")
+        (
+            rdf0.withColumn("seg", F.lit(seg))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(f"{path}/remap")
+        )
+        n_new = comp.count()
+        n_merged = comp.filter(F.col("id") != F.col("component")).count()
+        (
+            comp.select(
+                "id", "component",
+                F.pmod(F.xxhash64("id"), F.lit(meta.buckets)).alias("bucket"),
+            )
+            .withColumn("seg", F.lit(seg))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "seg")
+            .parquet(f"{path}/mapping")
+        )
+        return {
+            "touched_roots": n_new,
+            "merged_roots": n_merged,
+            "new_vertices": n_new,
+        }
     looked_up = _apply_remap(looked_up, prior_remap)
     roots = (
         verts.join(looked_up, "id", "left")
@@ -328,27 +368,24 @@ def update_component_store(
         .select("rx", "ry")
         .filter(F.col("rx") != F.col("ry"))
         .dropDuplicates(["rx", "ry"])
+        .localCheckpoint(eager=True)  # feeds isEmpty + the CC run
     )
     if contracted.isEmpty():
         remap_rows: list = []
     else:
         cc_small = connected_components(contracted, "rx", "ry")
-        remap_rows = [
-            (r.id, r.component)
-            for r in cc_small.filter(F.col("id") != F.col("component"))
-            .collect()
-        ]
+        # Arrow collect — see update_components: Row-object collect()
+        # costs ~10 s on a bulk batch's 1.5M-row merge set
+        rm = cc_small.filter(F.col("id") != F.col("component")).toPandas()
+        remap_rows = list(zip(rm["id"].tolist(), rm["component"].tolist()))
 
     # remap delta: only entries whose OLD root predates this update —
     # a new vertex that merges is written directly with its final
     # component below, so logging it here would be redundant state
-    old_roots = {
-        r.id for r in roots.join(looked_up.select("id"), "id", "left_semi")
-        .select(F.col("root").alias("id")).distinct().collect()
-    }
+    orp = (roots.join(looked_up.select("id"), "id", "left_semi")
+           .select(F.col("root").alias("id")).distinct().toPandas())
+    old_roots = set(orp["id"].tolist())
     remap_delta = [(a, b) for a, b in remap_rows if a in old_roots]
-    from nous_spark.localrel import local_df
-
     typ = meta.id_type
     rdf = local_df(spark, remap_delta,
                    schema=f"component {typ}, new_component {typ}")
@@ -456,8 +493,6 @@ def compact_component_store(
             .filter(F.col("seg").isin(*exclude_segs)).collect()
         ]
     if kept_remap:
-        from nous_spark.localrel import local_df
-
         local_df(
             spark, kept_remap,
             schema=f"component {typ}, new_component {typ}, seg STRING",
