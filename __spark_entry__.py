@@ -2394,7 +2394,13 @@ def _q_prepare_training_set(spark, sf):  # corpus -> shards, end to end
         ),
     ).otherwise(F.col("text"))
     docs = docs.withColumn("text", planted)
-    d = docs.select(
+    # spread before the tokenize arms: the candidate-pair self-join
+    # computes the token-array subtree once per side, and a single-file
+    # doc scan would run both on one core (dedup._spread, no-op at
+    # cluster file counts)
+    from nous_spark.operators.dedup import _spread
+
+    d = _spread(docs).select(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
     )
