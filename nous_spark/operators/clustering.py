@@ -81,18 +81,28 @@ def _pic_driver(spark, edges_pdf, k, max_iter, kmeans_iter, init, seed,
     a = edges_pdf["a"].to_numpy(np.int64)
     b = edges_pdf["b"].to_numpy(np.int64)
     w = edges_pdf["w"].to_numpy(np.float64)
-    ids = np.unique(np.concatenate([a, b]) if canonical else a)
-    ai0 = np.searchsorted(ids, a)
-    bi0 = np.searchsorted(ids, b)
     if canonical:
+        # one factorization pass for both columns (unique+return_inverse
+        # ~2x faster than unique + two searchsorted passes at 20M rows)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai0 = inv[: len(a)]
+        bi0 = inv[len(a):]
         ai0, bi0, w = (np.concatenate([ai0, bi0]),
                        np.concatenate([bi0, ai0]),
                        np.concatenate([w, w]))
-    order = np.lexsort((bi0, ai0))
+    else:
+        ids = np.unique(a)  # symmetrized: every vertex is on the a side
+        ai0 = np.searchsorted(ids, a)
+        bi0 = np.searchsorted(ids, b)
+    n = len(ids)
+    # composite-key argsort == lexsort by (rank_a, rank_b): keys are
+    # unique (edge pairs are distinct after the max-reduction), and
+    # n*n < 2^63 at any driver cap, so the single-key sort is exact and
+    # ~2x faster than lexsort's two passes
+    order = np.argsort(ai0.astype(np.int64) * n + bi0)
     ai = ai0[order]
     bi = bi0[order]
     w = w[order]
-    n = len(ids)
     deg = np.bincount(ai, weights=w, minlength=n)
     if init == "degree":
         v = deg / deg.sum()
